@@ -1,0 +1,310 @@
+"""Batched pair-HMM Forward/Backward/posterior on TPU.
+
+This is the numeric heart of the framework — the equivalent of the
+reference's flat DP kernels (reference: src/fwdflat3.cpp:12-153,
+src/bwdflat3.cpp:10-190, src/calcposteriorflat.cpp:4-27,
+src/totalprobflat.cpp:3-16) re-designed for TPU execution:
+
+* The reference walks the (LX+1)x(LY+1) lattice cell-by-cell. We
+  restructure the recurrence as a `lax.scan` over rows: the M/IX/JX
+  updates of a whole row are data-parallel given the previous row, and
+  the within-row IY/JY dependence is an *affine recurrence in the log
+  semiring*, solved with `lax.associative_scan` (O(log L) depth):
+      T_j(u) = LOG_ADD(u + a_j, c_j)
+      T2∘T1  = (a1+a2, LOG_ADD(c1+a2, c2))
+  This keeps every step a wide VPU vector op — no scalar wavefront.
+
+* Backward is computed as a *forward-style* scan over the reversed
+  sequences (RB[s](u,v) = Bwd[s](LX-u, LY-v)), so batches of pairs with
+  different lengths can be right-padded without padding cells ever
+  feeding valid cells.
+
+* Many pairs are processed per launch (vmap over the pair axis); the
+  O(N^2) pair grid is the data-parallel axis that `parallel/` shards
+  across chips.
+
+States are ordered [M, IX, IY, JX, JY] as in src/pairhmm.h:11-19.
+Log-space arithmetic uses the reference's LOGEXP1 polynomial
+(ops/logspace.py) so results track the reference binary closely.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .logspace import LOG_ZERO, log_add, log_add5
+
+MIN_SPARSE_PROB = 0.01                   # reference: src/mysparsemx.h:3
+MIN_SPARSE_SCORE = float(np.log(0.01))   # reference: src/mysparsemx.h:4
+
+
+def _trans_vec(pack):
+    """Scalar transition scores as a flat f32 vector for closure capture."""
+    return jnp.array(
+        [pack.tMM, pack.tMI, pack.tMJ, pack.tII, pack.tIM, pack.tJJ, pack.tJM],
+        dtype=jnp.float32)
+
+
+def _row_affine_scan(a, c):
+    """Solve u_j = LOG_ADD(u_{j-1} + a_j, c_j), u_0 = LOG_ZERO, j = 1..n.
+
+    Returns u_1..u_n given a, c of shape (..., n); scan along last axis.
+    """
+    def combine(x, y):
+        a1, c1 = x
+        a2, c2 = y
+        return a1 + a2, log_add(c1 + a2, c2)
+
+    _, u = jax.lax.associative_scan(combine, (a, c), axis=-1)
+    return u
+
+
+def _forward_scan(x, y, lx_mask_unused, match, insert, start, tv):
+    """Forward lattice for one pair. x:(Bx,) y:(By,) int32 codes (padded).
+
+    Returns F of shape (Bx+1, 5, By+1) float32.
+    reference: src/fwdflat3.cpp:12-153.
+    """
+    Bx = x.shape[0]
+    By = y.shape[0]
+    tMM, tMI, tMJ, tII, tIM, tJJ, tJM = (tv[k] for k in range(7))
+    tSM, tSI, tSJ = start[0], start[1], start[3]
+
+    ins_y = insert[y]                       # (By,)
+    ins_x = insert[x]                       # (Bx,)
+
+    # --- row 0 (i = 0) boundary: src/fwdflat3.cpp:35-93 ----------------
+    lz = jnp.full((By + 1,), LOG_ZERO, dtype=jnp.float32)
+    # IY(0,1) = tSI + ins(y0); IY(0,j) = IY(0,j-1) + tII + ins(y_{j-1})
+    ext_i = jnp.concatenate([jnp.array([tSI], jnp.float32) + ins_y[:1],
+                             tII + ins_y[1:]])
+    ext_j = jnp.concatenate([jnp.array([tSJ], jnp.float32) + ins_y[:1],
+                             tJJ + ins_y[1:]])
+    iy0 = jnp.concatenate([lz[:1], jnp.cumsum(ext_i)])
+    jy0 = jnp.concatenate([lz[:1], jnp.cumsum(ext_j)])
+    row0 = jnp.stack([lz, lz, iy0, lz, jy0])          # (5, By+1)
+
+    jpos = jnp.arange(1, By + 1)
+
+    def step(carry, xi):
+        prev, i = carry                      # prev: (5, By+1); i = row index (1-based)
+        xcode, insx = xi
+        m_p, ix_p, iy_p, jx_p, jy_p = prev
+
+        emit_row = match[xcode, y]           # (By,) match(x_{i-1}, y_{j-1}) j=1..By
+
+        # M row: all five predecessors at (i-1, j-1)
+        m_new = log_add5(m_p[:-1] + tMM,
+                         ix_p[:-1] + tIM,
+                         jx_p[:-1] + tJM,
+                         iy_p[:-1] + tIM,
+                         jy_p[:-1] + tJM) + emit_row
+        # start transition: M(1,1) = tSM + emit (src/fwdflat3.cpp:110-111)
+        m_new = jnp.where((i == 1) & (jpos == 1), tSM + emit_row, m_new)
+
+        # IX/JX rows: predecessors at (i-1, j)
+        ix_new = log_add(ix_p[1:] + tII, m_p[1:] + tMI) + insx
+        jx_new = log_add(jx_p[1:] + tJJ, m_p[1:] + tMJ) + insx
+
+        # column 0: M/IY/JY = LOG_ZERO; IX/JX extend down the first column
+        ix0 = jnp.where(i == 1, tSI + insx, ix_p[0] + tII + insx)
+        jx0 = jnp.where(i == 1, tSJ + insx, jx_p[0] + tJJ + insx)
+
+        m_row = jnp.concatenate([jnp.full((1,), LOG_ZERO, jnp.float32), m_new])
+        ix_row = jnp.concatenate([ix0[None], ix_new])
+        jx_row = jnp.concatenate([jx0[None], jx_new])
+
+        # IY/JY rows: within-row affine recurrence over j
+        a_i = tII + ins_y
+        c_i = m_row[:-1] + tMI + ins_y
+        iy_new = _row_affine_scan(a_i, c_i)
+        a_j = tJJ + ins_y
+        c_j = m_row[:-1] + tMJ + ins_y
+        jy_new = _row_affine_scan(a_j, c_j)
+        iy_row = jnp.concatenate([jnp.full((1,), LOG_ZERO, jnp.float32), iy_new])
+        jy_row = jnp.concatenate([jnp.full((1,), LOG_ZERO, jnp.float32), jy_new])
+
+        new = jnp.stack([m_row, ix_row, iy_row, jx_row, jy_row])
+        return (new, i + 1), new
+
+    (_, _), rows = jax.lax.scan(step, (row0, jnp.int32(1)), (x, ins_x))
+    return jnp.concatenate([row0[None], rows])        # (Bx+1, 5, By+1)
+
+
+def _backward_scan(xr, yr, match, insert, start, tv):
+    """Backward lattice as a forward-style scan over reversed sequences.
+
+    Returns RB of shape (Bx+1, 5, By+1) with RB[u, s, v] = Bwd[s](LX-u, LY-v)
+    for u <= LX, v <= LY (padded regions are garbage but never read).
+    reference: src/bwdflat3.cpp:10-190.
+    """
+    By = yr.shape[0]
+    tMM, tMI, tMJ, tII, tIM, tJJ, tJM = (tv[k] for k in range(7))
+    tSM, tSI, tSJ = start[0], start[1], start[3]
+
+    ins_y = insert[yr]
+    ins_x = insert[xr]
+
+    # --- row u = 0 (i = LX): only IY/JY/M live ---------------------------
+    lz = jnp.full((By + 1,), LOG_ZERO, dtype=jnp.float32)
+    # IY(0,0)=tSI; IY(0,v) = IY(0,v-1) + ins(yr_{v-1}) + tII
+    iy0 = tSI + jnp.concatenate([jnp.zeros(1, jnp.float32),
+                                 jnp.cumsum(ins_y + tII)])
+    jy0 = tSJ + jnp.concatenate([jnp.zeros(1, jnp.float32),
+                                 jnp.cumsum(ins_y + tJJ)])
+    # M(0,v) = LOG_ADD(tMI + IY(0,v-1)+ins, tMJ + JY(0,v-1)+ins); M(0,0)=tSM
+    m0_tail = log_add(tMI + iy0[:-1] + ins_y, tMJ + jy0[:-1] + ins_y)
+    m0 = jnp.concatenate([jnp.array([tSM], jnp.float32), m0_tail])
+    ix0 = lz.at[0].set(tSI)
+    jx0 = lz.at[0].set(tSJ)
+    row0 = jnp.stack([m0, ix0, iy0, jx0, jy0])
+
+    def step(carry, xi):
+        prev, u = carry
+        xcode, insx = xi
+        m_p, ix_p, iy_p, jx_p, jy_p = prev
+
+        emit_row = match[xcode, yr]            # match(xr_{u-1}, yr_{v-1}), v=1..By
+
+        # "next" values, all from previous row (u-1)
+        next_m = m_p[:-1] + emit_row           # at (u-1, v-1)
+        next_ix = ix_p[1:] + insx              # at (u-1, v)
+        next_jx = jx_p[1:] + insx
+
+        # IX/JX rows (v >= 1): LOG_ADD(tII+nextIX, tIM+nextM)
+        ix_new = log_add(tII + next_ix, tIM + next_m)
+        jx_new = log_add(tJJ + next_jx, tJM + next_m)
+        # column v = 0 (j = LY): IX extends via previous row col 0
+        ix_c0 = tII + ix_p[0] + insx
+        jx_c0 = tJJ + jx_p[0] + insx
+        ix_row = jnp.concatenate([ix_c0[None], ix_new])
+        jx_row = jnp.concatenate([jx_c0[None], jx_new])
+
+        # IY/JY rows: within-row affine recurrence
+        # IY(u,v) = LOG_ADD(IY(u,v-1)+ins_y+tII, tIM + nextM_v)
+        a_i = tII + ins_y
+        c_i = tIM + next_m
+        # u_0 = IY(u, 0) = LOG_ZERO -> plain scan solution
+        iy_new = _row_affine_scan(a_i, c_i)
+        a_j = tJJ + ins_y
+        c_j = tJM + next_m
+        jy_new = _row_affine_scan(a_j, c_j)
+        iy_row = jnp.concatenate([jnp.full((1,), LOG_ZERO, jnp.float32), iy_new])
+        jy_row = jnp.concatenate([jnp.full((1,), LOG_ZERO, jnp.float32), jy_new])
+
+        # M row: needs IY/JY at (u, v-1) — the rows just computed, shifted
+        next_iy = iy_row[:-1] + ins_y
+        next_jy = jy_row[:-1] + ins_y
+        m_new = log_add5(tMM + next_m,
+                         tMI + next_ix,
+                         tMJ + next_jx,
+                         tMI + next_iy,
+                         tMJ + next_jy)
+        # column v = 0: M = LOG_ADD(tMI+nextIX, tMJ+nextJX) at (u-1, 0)
+        m_c0 = log_add(tMI + ix_p[0] + insx, tMJ + jx_p[0] + insx)
+        m_row = jnp.concatenate([m_c0[None], m_new])
+
+        new = jnp.stack([m_row, ix_row, iy_row, jx_row, jy_row])
+        return (new, u + 1), new
+
+    (_, _), rows = jax.lax.scan(step, (row0, jnp.int32(1)), (xr, ins_x))
+    return jnp.concatenate([row0[None], rows])
+
+
+def _pair_posterior(x, y, lx, ly, match, insert, start, tv):
+    """Posterior matrix + total log-prob for a single (padded) pair.
+
+    Returns (post (Bx, By) f32 zero outside valid region, total f32 scalar).
+    """
+    Bx = x.shape[0]
+    By = y.shape[0]
+
+    F = _forward_scan(x, y, None, match, insert, start, tv)
+
+    # reversed sequences: xr[u] = x[lx-1-u] for u < lx (garbage beyond)
+    ii = jnp.arange(Bx)
+    xr = x[jnp.clip(lx - 1 - ii, 0, Bx - 1)]
+    jj = jnp.arange(By)
+    yr = y[jnp.clip(ly - 1 - jj, 0, By - 1)]
+    RB = _backward_scan(xr, yr, match, insert, start, tv)
+
+    # total prob: LOG_ADD fold over states of F[s](lx,ly) + B[s](lx,ly)
+    # where B(lx,ly) = RB(0,0) = start scores (src/totalprobflat.cpp:3-16)
+    f_end = F[lx, :, ly]                     # (5,)
+    b_end = RB[0, :, 0]
+    total = jnp.full((), LOG_ZERO, jnp.float32)
+    for s in range(5):                       # state order M,IX,IY,JX,JY
+        total = log_add(total, f_end[s] + b_end[s])
+
+    # posterior: P[i-1,j-1] = exp(F_M(i,j) + B_M(i,j) - total), thresholded
+    f_m = F[1:, 0, 1:]                       # (Bx, By) at (i,j), i,j >= 1
+    # B_M(i,j) = RB_M(lx-i, ly-j) -> gather with flipped indices
+    iu = jnp.clip(lx - 1 - ii, 0, Bx)        # row index (lx - i) for i=ii+1
+    jv = jnp.clip(ly - 1 - jj, 0, By)
+    b_m = RB[:, 0, :][iu[:, None], jv[None, :]]
+    score = f_m + b_m - total
+    valid = (ii[:, None] < lx) & (jj[None, :] < ly)
+    post = jnp.where((score >= MIN_SPARSE_SCORE) & valid,
+                     jnp.exp(jnp.minimum(score, 0.0)), 0.0)
+    return post.astype(jnp.float32), total
+
+
+def _mea_score(post, lx, ly):
+    """Max-expected-accuracy DP score over a posterior matrix.
+
+    NewRow[j] = max(Old[j-1] + P[i,j], Old[j], NewRow[j-1]) with zero
+    boundaries; the within-row dependence is a running max (cummax).
+    Valid because post is zero outside the (lx, ly) region, so the final
+    corner equals the score at (lx, ly).
+    reference: src/calcalnscoreflat.cpp:4-32.
+    """
+    By = post.shape[1]
+
+    def step(old, prow):
+        cand = jnp.maximum(old[:-1] + prow, old[1:])
+        new_tail = jax.lax.associative_scan(jnp.maximum, cand)
+        new = jnp.concatenate([jnp.zeros(1, jnp.float32), new_tail])
+        return new, None
+
+    row_init = jnp.zeros(By + 1, jnp.float32)
+    final, _ = jax.lax.scan(step, row_init, post)
+    return final[By]
+
+
+@partial(jax.jit, static_argnames=("with_mea",))
+def batch_posteriors(xb, yb, lxb, lyb, match, insert, start, tv,
+                     with_mea: bool = True):
+    """Posteriors (+ MEA/EA scores) for a batch of sequence pairs.
+
+    Args:
+      xb: (B, Bx) int32 codes, right-padded.
+      yb: (B, By) int32 codes, right-padded.
+      lxb, lyb: (B,) int32 true lengths.
+      match, insert, start, tv: score tables from hmm.params.ScorePack
+        (see `score_args`).
+
+    Returns:
+      post: (B, Bx, By) f32 posterior matrices (zero outside valid region)
+      ea:   (B,) f32 expected accuracy = MEA score / min(lx, ly)
+            (reference: src/calcposteriorflat.cpp:89-91) — zeros if
+            with_mea=False.
+    """
+    post, _total = jax.vmap(
+        lambda x, y, lx, ly: _pair_posterior(x, y, lx, ly, match, insert, start, tv)
+    )(xb, yb, lxb, lyb)
+    if with_mea:
+        scores = jax.vmap(_mea_score)(post, lxb, lyb)
+        ea = scores / jnp.minimum(lxb, lyb).astype(jnp.float32)
+    else:
+        ea = jnp.zeros(xb.shape[0], jnp.float32)
+    return post, ea
+
+
+def score_args(pack):
+    """ScorePack -> device arrays accepted by batch_posteriors."""
+    return (jnp.asarray(pack.match), jnp.asarray(pack.insert),
+            jnp.asarray(pack.start), _trans_vec(pack))

@@ -1,0 +1,183 @@
+"""MPC — the core MSA pipeline (Multithreaded ProbCons, TPU-native).
+
+Equivalent of the reference's MPCFlat::Run (reference:
+src/mpcflat.cpp:285-337). Stage order matches the reference:
+
+  derep -> all-pairs posteriors + EA distances (device, batched)
+        -> UPGMA5 guide tree (+ permutation)
+        -> consistency transform (device, block matmul)
+        -> join order -> progressive align -> refine
+        -> sort by tree -> re-insert dupes
+
+Device work: the O(N^2 L^2) pair-HMM grid and the O((NL)^3-ish)
+consistency matmuls. Host work: trees, join bookkeeping, traceback.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..alphabet import ALPHA_AMINO, ALPHA_NUCLEO, guess_is_nucleo
+from ..hmm.params import HMMParams
+from ..sequence import MultiSequence, Sequence
+from ..utils.rng import GlibcRand, MwcRng
+from ..tree.joinorder import guide_tree_join_order
+from ..tree.tree import Tree
+from ..tree.upgma import LINKAGE_BIASED, fix_ea_distmx, upgma5
+from . import posteriors as post_mod
+from .derep import Derep
+from .progressive import PairPosteriors, progressive_align, refine
+
+DEFAULT_CONSISTENCY_ITERS = 2   # reference: src/pairhmm.h:8
+DEFAULT_REFINE_ITERS = 100      # reference: src/pairhmm.h:9
+
+
+class MPC:
+    def __init__(self,
+                 consistency_iters: int = DEFAULT_CONSISTENCY_ITERS,
+                 refine_iters: int = DEFAULT_REFINE_ITERS,
+                 tree_perm: str | None = None,
+                 batch_size: int = 32,
+                 guide_tree_in: Tree | None = None,
+                 input_order: bool = False):
+        self.consistency_iters = consistency_iters
+        self.refine_iters = refine_iters
+        self.tree_perm = tree_perm
+        self.batch_size = batch_size
+        self.guide_tree_in = guide_tree_in
+        self.input_order = input_order
+        self.guide_tree: Tree | None = None
+        self.dist_mx: np.ndarray | None = None
+
+    # ------------------------------------------------------------------
+    def run(self, input_seqs: MultiSequence, hp: HMMParams, alpha: str,
+            refine_rng: GlibcRand | None = None) -> MultiSequence:
+        derep = Derep()
+        derep.run(input_seqs)
+        unique = derep.unique_seqs(input_seqs)
+        n = len(unique)
+
+        if n == 1:
+            # all sequences identical: output a copy of the input
+            return MultiSequence([Sequence(s.label, s.bytes_view())
+                                  for s in input_seqs])
+
+        labels = unique.labels()
+        if len(set(labels)) != n:
+            raise ValueError("duplicate labels in input")
+        label_to_index = {lb: i for i, lb in enumerate(labels)}
+
+        pack = hp.to_scores()
+        codes, lens = post_mod.encode_batch(unique, alpha)
+        pairs = [(x, y) for x in range(n) for y in range(x + 1, n)]
+
+        post_arr, ea = post_mod.all_pairs_posteriors(
+            codes, lens, pack, pairs, batch_size=self.batch_size)
+        self.dist_mx = post_mod.ea_dist_matrix(n, pairs, ea)
+
+        # guide tree BEFORE consistency (reference: src/mpcflat.cpp:306-310)
+        if self.guide_tree_in is not None:
+            tree = self.guide_tree_in
+        else:
+            d = fix_ea_distmx(self.dist_mx)
+            tree = upgma5(labels, d, LINKAGE_BIASED)
+            if self.tree_perm and self.tree_perm != "none":
+                from ..tree.permute import perm_tree
+                tree = perm_tree(tree, self.tree_perm)
+        self.guide_tree = tree
+
+        # consistency transform
+        posts = PairPosteriors()
+        if n >= 3 and self.consistency_iters > 0:
+            post_arr = self._consistency(post_arr, pairs, n, lens)
+        for (x, y), P in zip(pairs, post_arr):
+            posts.set(x, y, P[:lens[x], :lens[y]])
+        del post_arr
+
+        idx1, idx2 = guide_tree_join_order(tree, label_to_index)
+        msa = progressive_align(unique, idx1, idx2, label_to_index, posts)
+        msa = refine(msa, self.refine_iters, label_to_index, posts,
+                     rng=refine_rng)
+
+        msa = self._sort(msa, unique, tree, label_to_index)
+
+        dupes = derep.rep_label_to_dupe_labels(input_seqs)
+        if dupes:
+            msa = self._insert_dupes(msa, dupes)
+        return msa
+
+    # ------------------------------------------------------------------
+    def _consistency(self, post_arr: np.ndarray, pairs, n: int,
+                     lens: np.ndarray) -> np.ndarray:
+        import jax.numpy as jnp
+        from ..ops import consistency as cons
+
+        t = cons.pair_tensor_from_triu(jnp.asarray(post_arr), pairs, n,
+                                       post_arr.shape[1])
+        mask = cons.sparsity_mask(t)
+        for _ in range(self.consistency_iters):
+            t = cons.consistency_iter(t, mask, n)
+        xi = np.array([p[0] for p in pairs])
+        yi = np.array([p[1] for p in pairs])
+        return np.asarray(t[xi, yi])
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _sort(msa: MultiSequence, unique: MultiSequence, tree: Tree,
+              label_to_index: dict[str, int]) -> MultiSequence:
+        by_label = {s.label: s for s in msa}
+        ordered = []
+        for node in tree.depth_first():
+            if tree.is_leaf(node):
+                ordered.append(by_label[tree.labels[node]])
+        return MultiSequence(ordered)
+
+    def _sort_input_order(self, msa: MultiSequence,
+                          unique: MultiSequence) -> MultiSequence:
+        by_label = {s.label: s for s in msa}
+        return MultiSequence([by_label[s.label] for s in unique])
+
+    @staticmethod
+    def _insert_dupes(msa: MultiSequence,
+                      dupes: dict[str, list[str]]) -> MultiSequence:
+        out = MultiSequence()
+        for s in msa:
+            out.add(s)
+            for dl in dupes.get(s.label, ()):
+                out.add(Sequence(dl, s.bytes_view()))
+        return out
+
+
+def align(seqs: MultiSequence, *,
+          nucleo: bool | None = None,
+          perturb_seed: int = 0,
+          tree_perm: str | None = None,
+          consistency_iters: int = DEFAULT_CONSISTENCY_ITERS,
+          refine_iters: int = DEFAULT_REFINE_ITERS,
+          hmm_params: HMMParams | None = None,
+          batch_size: int = 32,
+          guide_tree_in: Tree | None = None,
+          input_order: bool = False) -> MultiSequence:
+    """Align a set of unaligned sequences (reference: -align, src/align.cpp).
+
+    Top-level convenience covering the single-replicate path; ensembles
+    drive MPC directly (pipeline/ensemble.py).
+    """
+    if nucleo is None:
+        nucleo = guess_is_nucleo(seqs, MwcRng(1))
+    alpha = ALPHA_NUCLEO if nucleo else ALPHA_AMINO
+
+    hp = hmm_params or HMMParams.from_defaults(nucleo=nucleo)
+    if perturb_seed > 0:
+        hp.perturb(perturb_seed)
+
+    mpc = MPC(consistency_iters=consistency_iters,
+              refine_iters=refine_iters,
+              tree_perm=tree_perm, batch_size=batch_size,
+              guide_tree_in=guide_tree_in, input_order=input_order)
+    msa = mpc.run(seqs, hp, alpha)
+    if input_order:
+        by_label = {s.label: s for s in msa}
+        msa = MultiSequence([by_label[s.label] for s in seqs
+                             if s.label in by_label])
+    return msa

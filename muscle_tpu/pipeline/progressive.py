@@ -1,0 +1,117 @@
+"""Progressive profile alignment and iterative refinement.
+
+Host-side join loop over the guide-tree join order. Each join builds
+the column-space posterior for the two profiles from the (consistency-
+transformed) pair posteriors and runs the MEA DP
+(reference: MPCFlat::AlignAlns src/alnalnsflat.cpp:7-52,
+MPCFlat::BuildPost src/buildpostflat.cpp:18-106,
+MPCFlat::ProgressiveAlign src/progalnflat.cpp:41-100,
+MPCFlat::RefineIter src/refineflat.cpp:4-31).
+
+The N-1 joins are inherently serial (each consumes the previous result)
+so they run on host; the accumulation over sequence pairs inside
+build_post is numpy-vectorized scatter-adds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..ops.mea import mea_align
+from ..sequence import MultiSequence
+from ..utils.rng import GlibcRand
+
+
+class PairPosteriors:
+    """Pair posterior store: (x, y) with x < y -> (Lx, Ly) float32."""
+
+    def __init__(self):
+        self._d: dict[tuple[int, int], np.ndarray] = {}
+
+    def set(self, x: int, y: int, post: np.ndarray) -> None:
+        assert x < y
+        self._d[(x, y)] = post
+
+    def get(self, x: int, y: int) -> np.ndarray:
+        """Posterior oriented (Lx rows, Ly cols) for any x != y."""
+        if x < y:
+            return self._d[(x, y)]
+        return self._d[(y, x)].T
+
+
+def build_post(msa1: MultiSequence, msa2: MultiSequence,
+               label_to_index: dict[str, int],
+               posts: PairPosteriors) -> np.ndarray:
+    """Column-space posterior matrix for aligning msa1 to msa2.
+
+    Post[c1, c2] = sum over rows s in msa1, t in msa2 of
+    P(s_pos <-> t_pos) scattered through each row's pos->col map
+    (reference: src/buildpostflat.cpp:18-106; weights are 1.0 as in
+    src/mpcflat.cpp:316-326).
+    """
+    cc1 = msa1.col_count() if len(msa1[0]) else 0
+    cc2 = msa2.col_count()
+    out = np.zeros((cc1, cc2), dtype=np.float32)
+    ptc2 = [s.pos_to_col() for s in msa2]
+    idx2 = [label_to_index[s.label] for s in msa2]
+    for s1 in msa1:
+        i1 = label_to_index[s1.label]
+        p1 = s1.pos_to_col()
+        for s2, i2, p2 in zip(msa2, idx2, ptc2):
+            P = posts.get(i1, i2)
+            out[np.ix_(p1, p2)] += P
+    return out
+
+
+def align_alns(msa1: MultiSequence, msa2: MultiSequence,
+               label_to_index: dict[str, int],
+               posts: PairPosteriors) -> tuple[MultiSequence, float]:
+    post = build_post(msa1, msa2, label_to_index, posts)
+    score, path = mea_align(post)
+    out = MultiSequence()
+    for s in msa1:
+        out.add(s.add_gaps_path(path, "X"))
+    for s in msa2:
+        out.add(s.add_gaps_path(path, "Y"))
+    return out, score
+
+
+def progressive_align(seqs: MultiSequence, idx1: list[int], idx2: list[int],
+                      label_to_index: dict[str, int],
+                      posts: PairPosteriors) -> MultiSequence:
+    n = len(seqs)
+    prog: list[MultiSequence | None] = [MultiSequence([s]) for s in seqs]
+    for k in range(len(idx1)):
+        m1 = prog[idx1[k]]
+        m2 = prog[idx2[k]]
+        joined, _ = align_alns(m1, m2, label_to_index, posts)
+        prog.append(joined)
+        prog[idx1[k]] = None
+        prog[idx2[k]] = None
+    assert len(prog) == 2 * n - 1
+    return prog[-1]
+
+
+def refine(msa: MultiSequence, iters: int,
+           label_to_index: dict[str, int], posts: PairPosteriors,
+           rng: GlibcRand | None = None) -> MultiSequence:
+    """Random-bipartition refinement (reference: src/refineflat.cpp).
+
+    The reference splits with libc rand()%2 (never seeded — glibc seed
+    1); GlibcRand reproduces that stream.
+    """
+    n = len(msa)
+    if n < 3:
+        return msa
+    rng = rng or GlibcRand(1)
+    for _ in range(iters):
+        g1 = []
+        g2 = []
+        for i in range(n):
+            (g1 if rng.rand() % 2 == 0 else g2).append(i)
+        if not g1 or not g2:
+            continue
+        m1 = msa.project(g1)
+        m2 = msa.project(g2)
+        msa, _ = align_alns(m1, m2, label_to_index, posts)
+    return msa
