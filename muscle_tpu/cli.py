@@ -1,0 +1,239 @@
+"""Command-line interface, muscle-flag-compatible.
+
+Mirrors the reference's single-dash command style (reference:
+src/main.cpp:55-73 dispatch, src/myopts.h registry, src/usage.txt):
+the command flag doubles as the input path, e.g.
+
+    muscle-tpu -align seqs.fa -output aln.afa
+    muscle-tpu -super5 big.fa -output aln.afa
+    muscle-tpu -qscore test.afa -ref ref.afa
+    muscle-tpu -disperse ensemble.efa
+    muscle-tpu -maxcc ensemble.efa -output best.afa
+
+Documented product commands (SURVEY §2.11) are implemented here;
+developer/bench commands live behind the library API.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from .sequence import MultiSequence
+
+
+USAGE = """\
+muscle-tpu — TPU-native multiple sequence alignment (MUSCLE v5 capabilities)
+
+Commands:
+  -align FILE        Align FASTA (MPC algorithm) -> -output
+  -super5 FILE       Align large FASTA (Super5 pipeline) -> -output
+  -qscore FILE       Q/TC accuracy vs -ref reference alignment
+  -disperse FILE     Ensemble dispersion of EFA
+  -maxcc FILE        Pick max-confidence replicate from EFA -> -output
+  -resample FILE     Bootstrap resampled MSAs from EFA -> -output
+  -efa_explode FILE  Split EFA into FASTA files -> -prefix
+  -fa2efa FILES      Concatenate FASTAs into EFA -> -output
+  -addconfseq FILE   Append column-confidence row(s) to MSA -> -output
+  -letterconf FILE   Per-letter confidence vs -ref -> -output
+
+Options:
+  -output FILE       Output path ('@' expands to replicate name)
+  -ref FILE          Reference alignment (qscore/letterconf)
+  -perm none|abc|acb|bca   Guide-tree permutation
+  -perturb N         HMM perturbation seed
+  -stratified        4 replicates x 4 perms ensemble
+  -diversified       100 perturbed replicates ensemble
+  -replicates N      Replicate count
+  -consiters N       Consistency iterations (default 2)
+  -refineiters N     Refinement iterations (default 100)
+  -nt / -amino       Force alphabet (default: guess)
+  -input_order       Output rows in input order (default: tree order)
+  -guidetreein FILE  Use Newick guide tree
+  -guidetreeout FILE Write guide tree and exit
+  -hmmin/-hmmout FILE  Read/write HMM parameters
+  -minsuper N        Auto-switch -align to Super5 at N seqs
+  -threads N         (accepted for compatibility; device-parallel)
+  -quiet / -log FILE
+"""
+
+
+def parse_args(argv: list[str]) -> tuple[str | None, str | None, dict]:
+    cmd = None
+    arg1 = None
+    opts: dict[str, object] = {}
+    flag_cmds = {
+        "align", "super5", "qscore", "disperse", "maxcc", "resample",
+        "efa_explode", "fa2efa", "addconfseq", "letterconf", "bench",
+    }
+    bool_opts = {"stratified", "diversified", "quiet", "nt", "amino",
+                 "input_order", "tree_order", "verbose", "bysequence",
+                 "version", "help"}
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if not a.startswith("-"):
+            raise SystemExit(f"unexpected argument {a!r}")
+        name = a.lstrip("-")
+        if name in flag_cmds:
+            if cmd is not None:
+                raise SystemExit("only one command flag allowed")
+            cmd = name
+            if i + 1 < len(argv) and not argv[i + 1].startswith("-"):
+                arg1 = argv[i + 1]
+                i += 1
+            # fa2efa takes multiple input files
+            if name == "fa2efa":
+                files = [arg1] if arg1 else []
+                while i + 1 < len(argv) and not argv[i + 1].startswith("-"):
+                    files.append(argv[i + 1])
+                    i += 1
+                opts["fa2efa_files"] = files
+        elif name in bool_opts:
+            opts[name] = True
+        else:
+            if i + 1 >= len(argv):
+                raise SystemExit(f"option -{name} requires a value")
+            opts[name] = argv[i + 1]
+            i += 1
+        i += 1
+    return cmd, arg1, opts
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    cmd, arg1, opts = parse_args(argv)
+
+    if cmd is None or opts.get("help"):
+        print(USAGE)
+        return 0 if opts.get("help") or not argv else 1
+    if opts.get("version"):
+        from . import __version__
+        print(f"muscle-tpu {__version__}")
+        return 0
+
+    if cmd in ("align", "super5"):
+        return _cmd_align(cmd, arg1, opts)
+    if cmd == "qscore":
+        return _cmd_qscore(arg1, opts)
+    if cmd == "disperse":
+        return _cmd_disperse(arg1, opts)
+    if cmd == "maxcc":
+        return _cmd_maxcc(arg1, opts)
+    if cmd == "resample":
+        return _cmd_resample(arg1, opts)
+    if cmd == "efa_explode":
+        return _cmd_efa_explode(arg1, opts)
+    if cmd == "fa2efa":
+        return _cmd_fa2efa(opts)
+    if cmd == "addconfseq":
+        return _cmd_addconfseq(arg1, opts)
+    if cmd == "letterconf":
+        return _cmd_letterconf(arg1, opts)
+    raise SystemExit(f"unknown command -{cmd}")
+
+
+def _nucleo_opt(opts) -> bool | None:
+    if opts.get("nt"):
+        return True
+    if opts.get("amino"):
+        return False
+    return None
+
+
+def _cmd_align(cmd: str, arg1: str, opts: dict) -> int:
+    from .pipeline.ensemble import run_align_command
+    out = opts.get("output")
+    if not out:
+        raise SystemExit("must set -output")
+    run_align_command(cmd, arg1, out, opts)
+    return 0
+
+
+def _cmd_qscore(arg1: str, opts: dict) -> int:
+    from .qscore import qscore
+    ref_path = opts.get("ref")
+    if not ref_path:
+        raise SystemExit("must set -ref")
+    test = MultiSequence.from_fasta(arg1)
+    ref = MultiSequence.from_fasta(ref_path)
+    q, tc = qscore(test, ref, by_sequence=bool(opts.get("bysequence")))
+    print(f"{arg1} Q={q:.3g}, TC={tc:.3g}")
+    return 0
+
+
+def _cmd_disperse(arg1: str, opts: dict) -> int:
+    from .pipeline.ensemble import Ensemble
+    ens = Ensemble.from_efa(arg1)
+    d_lp, d_cols = ens.dispersion()
+    print(f"@disperse file={arg1} n={len(ens.msas)} D_LP={d_lp:.4f} D_Cols={d_cols:.4f}")
+    return 0
+
+
+def _cmd_maxcc(arg1: str, opts: dict) -> int:
+    from .pipeline.ensemble import Ensemble
+    ens = Ensemble.from_efa(arg1)
+    best = ens.max_cc()
+    out = opts.get("output")
+    if out:
+        ens.msas[best].write_fasta(out)
+    print(f"maxcc replicate {ens.names[best]}")
+    return 0
+
+
+def _cmd_resample(arg1: str, opts: dict) -> int:
+    from .pipeline.ensemble import Ensemble
+    ens = Ensemble.from_efa(arg1)
+    n = int(opts.get("replicates", 100))
+    seed = int(opts.get("randseed", 1))
+    out = opts.get("output")
+    if not out:
+        raise SystemExit("must set -output")
+    ens.resample_to_file(out, n, seed)
+    return 0
+
+
+def _cmd_efa_explode(arg1: str, opts: dict) -> int:
+    from .pipeline.ensemble import Ensemble
+    ens = Ensemble.from_efa(arg1)
+    prefix = opts.get("prefix", "")
+    for name, msa in zip(ens.names, ens.msas):
+        msa.write_fasta(f"{prefix}{name}.afa")
+    return 0
+
+
+def _cmd_fa2efa(opts: dict) -> int:
+    files = opts.get("fa2efa_files", [])
+    out = opts.get("output")
+    if not out:
+        raise SystemExit("must set -output")
+    with open(out, "w") as f:
+        for path in files:
+            f.write(f"<{path}\n")
+            f.write(MultiSequence.from_fasta(path).to_fasta_text())
+    return 0
+
+
+def _cmd_addconfseq(arg1: str, opts: dict) -> int:
+    from .pipeline.ensemble import Ensemble
+    ens = Ensemble.from_efa(arg1)
+    out = opts.get("output")
+    if not out:
+        raise SystemExit("must set -output")
+    ens.write_with_conf_seq(out)
+    return 0
+
+
+def _cmd_letterconf(arg1: str, opts: dict) -> int:
+    from .pipeline.ensemble import Ensemble
+    ref_path = opts.get("ref")
+    if not ref_path:
+        raise SystemExit("must set -ref")
+    ens = Ensemble.from_efa(arg1)
+    ref = MultiSequence.from_fasta(ref_path)
+    out = opts.get("output")
+    ens.letter_conf(ref, out)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

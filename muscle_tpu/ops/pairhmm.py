@@ -66,7 +66,10 @@ def _row_affine_scan(a, c):
 def _forward_scan(x, y, lx_mask_unused, match, insert, start, tv):
     """Forward lattice for one pair. x:(Bx,) y:(By,) int32 codes (padded).
 
-    Returns F of shape (Bx+1, 5, By+1) float32.
+    Returns a 5-tuple of (Bx+1, By+1) float32 lattices in state order
+    [M, IX, IY, JX, JY]. Per-state arrays keep the minor dims as the
+    large (i, j) axes — a (B, L, 5, L) stack would tile-pad the 5-axis
+    on TPU (observed 24x HBM blowup).
     reference: src/fwdflat3.cpp:12-153.
     """
     Bx = x.shape[0]
@@ -86,12 +89,12 @@ def _forward_scan(x, y, lx_mask_unused, match, insert, start, tv):
                              tJJ + ins_y[1:]])
     iy0 = jnp.concatenate([lz[:1], jnp.cumsum(ext_i)])
     jy0 = jnp.concatenate([lz[:1], jnp.cumsum(ext_j)])
-    row0 = jnp.stack([lz, lz, iy0, lz, jy0])          # (5, By+1)
+    row0 = (lz, lz, iy0, lz, jy0)                     # (M, IX, IY, JX, JY)
 
     jpos = jnp.arange(1, By + 1)
 
     def step(carry, xi):
-        prev, i = carry                      # prev: (5, By+1); i = row index (1-based)
+        prev, i = carry                      # prev: 5-tuple of (By+1,); i = row (1-based)
         xcode, insx = xi
         m_p, ix_p, iy_p, jx_p, jy_p = prev
 
@@ -128,19 +131,20 @@ def _forward_scan(x, y, lx_mask_unused, match, insert, start, tv):
         iy_row = jnp.concatenate([jnp.full((1,), LOG_ZERO, jnp.float32), iy_new])
         jy_row = jnp.concatenate([jnp.full((1,), LOG_ZERO, jnp.float32), jy_new])
 
-        new = jnp.stack([m_row, ix_row, iy_row, jx_row, jy_row])
+        new = (m_row, ix_row, iy_row, jx_row, jy_row)
         return (new, i + 1), new
 
     (_, _), rows = jax.lax.scan(step, (row0, jnp.int32(1)), (x, ins_x))
-    return jnp.concatenate([row0[None], rows])        # (Bx+1, 5, By+1)
+    return tuple(jnp.concatenate([r0[None], rs])
+                 for r0, rs in zip(row0, rows))       # 5 x (Bx+1, By+1)
 
 
 def _backward_scan(xr, yr, match, insert, start, tv):
     """Backward lattice as a forward-style scan over reversed sequences.
 
-    Returns RB of shape (Bx+1, 5, By+1) with RB[u, s, v] = Bwd[s](LX-u, LY-v)
-    for u <= LX, v <= LY (padded regions are garbage but never read).
-    reference: src/bwdflat3.cpp:10-190.
+    Returns a 5-tuple of (Bx+1, By+1) lattices with RB[s][u, v] =
+    Bwd[s](LX-u, LY-v) for u <= LX, v <= LY (padded regions are garbage
+    but never read). reference: src/bwdflat3.cpp:10-190.
     """
     By = yr.shape[0]
     tMM, tMI, tMJ, tII, tIM, tJJ, tJM = (tv[k] for k in range(7))
@@ -161,7 +165,7 @@ def _backward_scan(xr, yr, match, insert, start, tv):
     m0 = jnp.concatenate([jnp.array([tSM], jnp.float32), m0_tail])
     ix0 = lz.at[0].set(tSI)
     jx0 = lz.at[0].set(tSJ)
-    row0 = jnp.stack([m0, ix0, iy0, jx0, jy0])
+    row0 = (m0, ix0, iy0, jx0, jy0)
 
     def step(carry, xi):
         prev, u = carry
@@ -208,11 +212,12 @@ def _backward_scan(xr, yr, match, insert, start, tv):
         m_c0 = log_add(tMI + ix_p[0] + insx, tMJ + jx_p[0] + insx)
         m_row = jnp.concatenate([m_c0[None], m_new])
 
-        new = jnp.stack([m_row, ix_row, iy_row, jx_row, jy_row])
+        new = (m_row, ix_row, iy_row, jx_row, jy_row)
         return (new, u + 1), new
 
     (_, _), rows = jax.lax.scan(step, (row0, jnp.int32(1)), (xr, ins_x))
-    return jnp.concatenate([row0[None], rows])
+    return tuple(jnp.concatenate([r0[None], rs])
+                 for r0, rs in zip(row0, rows))
 
 
 def _pair_posterior(x, y, lx, ly, match, insert, start, tv):
@@ -234,18 +239,16 @@ def _pair_posterior(x, y, lx, ly, match, insert, start, tv):
 
     # total prob: LOG_ADD fold over states of F[s](lx,ly) + B[s](lx,ly)
     # where B(lx,ly) = RB(0,0) = start scores (src/totalprobflat.cpp:3-16)
-    f_end = F[lx, :, ly]                     # (5,)
-    b_end = RB[0, :, 0]
     total = jnp.full((), LOG_ZERO, jnp.float32)
     for s in range(5):                       # state order M,IX,IY,JX,JY
-        total = log_add(total, f_end[s] + b_end[s])
+        total = log_add(total, F[s][lx, ly] + RB[s][0, 0])
 
     # posterior: P[i-1,j-1] = exp(F_M(i,j) + B_M(i,j) - total), thresholded
-    f_m = F[1:, 0, 1:]                       # (Bx, By) at (i,j), i,j >= 1
+    f_m = F[0][1:, 1:]                       # (Bx, By) at (i,j), i,j >= 1
     # B_M(i,j) = RB_M(lx-i, ly-j) -> gather with flipped indices
     iu = jnp.clip(lx - 1 - ii, 0, Bx)        # row index (lx - i) for i=ii+1
     jv = jnp.clip(ly - 1 - jj, 0, By)
-    b_m = RB[:, 0, :][iu[:, None], jv[None, :]]
+    b_m = RB[0][iu[:, None], jv[None, :]]
     score = f_m + b_m - total
     valid = (ii[:, None] < lx) & (jj[None, :] < ly)
     post = jnp.where((score >= MIN_SPARSE_SCORE) & valid,

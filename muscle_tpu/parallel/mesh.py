@@ -1,0 +1,69 @@
+"""Device-mesh sharding of the MPC pair grid.
+
+The reference's only parallel axis is OpenMP over the O(N^2) pair grid
+(reference: src/mpcflat.cpp:243, src/consflat.cpp:11). The TPU-native
+equivalent (SURVEY §5 "Distributed communication backend"): a 1-D
+`jax.sharding.Mesh` whose 'dp' axis shards
+
+  * the pair batch of the Forward/Backward/posterior kernels (pure data
+    parallel — zero collectives in the hot loop), and
+  * the block-row axis of the consistency matmul (each device computes
+    M[rows] @ M; XLA inserts the all-gather of M's columns over ICI).
+
+EA distance blocks are gathered to host for the (serial, tiny) UPGMA
+stage. Trees/join order stay replicated on host.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import pairhmm
+
+
+def make_mesh(devices=None, axis: str = "dp") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def sharded_batch_posteriors(mesh: Mesh, pack, with_mea: bool = True):
+    """Returns fn(xb, yb, lxb, lyb) -> (post, ea) with the pair axis
+    sharded over the mesh's 'dp' axis. Batch size must be a multiple of
+    the mesh size."""
+    args = pairhmm.score_args(pack)
+    axis = mesh.axis_names[0]
+    data_sharding = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+
+    @partial(jax.jit,
+             in_shardings=(data_sharding, data_sharding,
+                           data_sharding, data_sharding),
+             out_shardings=(data_sharding, data_sharding))
+    def fn(xb, yb, lxb, lyb):
+        return pairhmm.batch_posteriors(xb, yb, lxb, lyb, *args,
+                                        with_mea=with_mea)
+
+    return fn
+
+
+def sharded_consistency(mesh: Mesh):
+    """Consistency iteration with the (N, N, L, L) pair tensor sharded
+    over its first (X-block-row) axis; the M @ M contraction makes XLA
+    all-gather the replicated operand over ICI."""
+    from ..ops import consistency as cons
+    axis = mesh.axis_names[0]
+    row_sharding = NamedSharding(mesh, P(axis))
+
+    @partial(jax.jit,
+             in_shardings=(row_sharding, row_sharding, None),
+             out_shardings=row_sharding,
+             static_argnums=())
+    def fn(post_nn, mask_nn, seq_count):
+        return cons.consistency_iter(post_nn, mask_nn, seq_count)
+
+    return fn

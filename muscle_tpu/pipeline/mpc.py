@@ -68,7 +68,11 @@ class MPC:
         label_to_index = {lb: i for i, lb in enumerate(labels)}
 
         pack = hp.to_scores()
-        codes, lens = post_mod.encode_batch(unique, alpha)
+        # pad to a 64-multiple bucket so families with similar lengths
+        # share one XLA compilation of the scan kernels
+        lmax = max(len(s) for s in unique)
+        codes, lens = post_mod.encode_batch(
+            unique, alpha, pad_to=post_mod.round_up(lmax, 64))
         pairs = [(x, y) for x in range(n) for y in range(x + 1, n)]
 
         post_arr, ea = post_mod.all_pairs_posteriors(

@@ -17,6 +17,9 @@ import jax.numpy as jnp
 from ..alphabet import encode
 from ..hmm.params import ScorePack
 from ..ops import pairhmm
+from ..utils.jaxsetup import setup_jax
+
+setup_jax()
 
 
 def encode_batch(seqs, alpha: str, pad_to: int | None = None):

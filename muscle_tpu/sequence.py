@@ -129,10 +129,11 @@ class MultiSequence:
 
     def project(self, indexes) -> "MultiSequence":
         """Sub-MSA of the given row indexes with all-gap columns removed
-        (reference: MultiSequence::Project, src/multisequence.h)."""
+        (reference: MultiSequence::Project, src/project.cpp:16-69;
+        only '-' counts as gap there)."""
         idx = sorted(int(i) for i in indexes)
         m = np.stack([self.seqs[i].bytes_view() for i in idx])
-        keep = ~np.all((m == _GAP) | (m == _DOT), axis=0)
+        keep = ~np.all(m == _GAP, axis=0)
         return MultiSequence(
             [Sequence(self.seqs[i].label, m[k][keep]) for k, i in enumerate(idx)])
 

@@ -83,9 +83,12 @@ class GlibcRand:
         r = [0] * 344
         r[0] = seed & _M32
         for i in range(1, 31):
-            # r[i] = (16807 * r[i-1]) % 2147483647 using signed trick
-            hi, lo = divmod(r[i - 1], 65536)
-            word = (16807 * lo - 2836 * hi) % 2147483647
+            # r[i] = (16807 * r[i-1]) % 2147483647 via Schrage's method
+            # (glibc stdlib/random_r.c: hi = s/127773, lo = s%127773)
+            hi, lo = divmod(r[i - 1], 127773)
+            word = 16807 * lo - 2836 * hi
+            if word < 0:
+                word += 2147483647
             r[i] = word
         for i in range(31, 34):
             r[i] = r[i - 31]
