@@ -63,8 +63,14 @@ def _row_affine_scan(a, c):
     return u
 
 
-def _forward_scan(x, y, lx_mask_unused, match, insert, start, tv):
-    """Forward lattice for one pair. x:(Bx,) y:(By,) int32 codes (padded).
+def _forward_scan(e, ins_x, ins_y, start, tv):
+    """Forward lattice for one pair from an emission matrix.
+
+    e: (Bx, By) match scores (e[i-1, j-1] scores aligning x_i to y_j);
+    ins_x/ins_y: per-position insert scores. Emission-matrix form serves
+    both the letter pair-HMM (ops builds e from the match table) and the
+    Muscle-3D feature-profile HMM (e from weighted feature tables,
+    reference: src/fwdflat_mega.cpp).
 
     Returns a 5-tuple of (Bx+1, By+1) float32 lattices in state order
     [M, IX, IY, JX, JY]. Per-state arrays keep the minor dims as the
@@ -72,13 +78,10 @@ def _forward_scan(x, y, lx_mask_unused, match, insert, start, tv):
     on TPU (observed 24x HBM blowup).
     reference: src/fwdflat3.cpp:12-153.
     """
-    Bx = x.shape[0]
-    By = y.shape[0]
+    Bx = e.shape[0]
+    By = e.shape[1]
     tMM, tMI, tMJ, tII, tIM, tJJ, tJM = (tv[k] for k in range(7))
     tSM, tSI, tSJ = start[0], start[1], start[3]
-
-    ins_y = insert[y]                       # (By,)
-    ins_x = insert[x]                       # (Bx,)
 
     # --- row 0 (i = 0) boundary: src/fwdflat3.cpp:35-93 ----------------
     lz = jnp.full((By + 1,), LOG_ZERO, dtype=jnp.float32)
@@ -95,10 +98,8 @@ def _forward_scan(x, y, lx_mask_unused, match, insert, start, tv):
 
     def step(carry, xi):
         prev, i = carry                      # prev: 5-tuple of (By+1,); i = row (1-based)
-        xcode, insx = xi
+        emit_row, insx = xi                  # emission row for DP row i
         m_p, ix_p, iy_p, jx_p, jy_p = prev
-
-        emit_row = match[xcode, y]           # (By,) match(x_{i-1}, y_{j-1}) j=1..By
 
         # M row: all five predecessors at (i-1, j-1)
         m_new = log_add5(m_p[:-1] + tMM,
@@ -134,24 +135,24 @@ def _forward_scan(x, y, lx_mask_unused, match, insert, start, tv):
         new = (m_row, ix_row, iy_row, jx_row, jy_row)
         return (new, i + 1), new
 
-    (_, _), rows = jax.lax.scan(step, (row0, jnp.int32(1)), (x, ins_x))
+    (_, _), rows = jax.lax.scan(step, (row0, jnp.int32(1)), (e, ins_x))
     return tuple(jnp.concatenate([r0[None], rs])
                  for r0, rs in zip(row0, rows))       # 5 x (Bx+1, By+1)
 
 
-def _backward_scan(xr, yr, match, insert, start, tv):
+def _backward_scan(e_rev, ins_xr, ins_yr, start, tv):
     """Backward lattice as a forward-style scan over reversed sequences.
 
+    e_rev[u-1, v-1] scores aligning xr_u to yr_v (reversed sequences).
     Returns a 5-tuple of (Bx+1, By+1) lattices with RB[s][u, v] =
     Bwd[s](LX-u, LY-v) for u <= LX, v <= LY (padded regions are garbage
     but never read). reference: src/bwdflat3.cpp:10-190.
     """
-    By = yr.shape[0]
+    By = e_rev.shape[1]
     tMM, tMI, tMJ, tII, tIM, tJJ, tJM = (tv[k] for k in range(7))
     tSM, tSI, tSJ = start[0], start[1], start[3]
-
-    ins_y = insert[yr]
-    ins_x = insert[xr]
+    ins_y = ins_yr
+    ins_x = ins_xr
 
     # --- row u = 0 (i = LX): only IY/JY/M live ---------------------------
     lz = jnp.full((By + 1,), LOG_ZERO, dtype=jnp.float32)
@@ -169,10 +170,8 @@ def _backward_scan(xr, yr, match, insert, start, tv):
 
     def step(carry, xi):
         prev, u = carry
-        xcode, insx = xi
+        emit_row, insx = xi                    # match(xr_{u-1}, yr_{v-1}), v=1..By
         m_p, ix_p, iy_p, jx_p, jy_p = prev
-
-        emit_row = match[xcode, yr]            # match(xr_{u-1}, yr_{v-1}), v=1..By
 
         # "next" values, all from previous row (u-1)
         next_m = m_p[:-1] + emit_row           # at (u-1, v-1)
@@ -215,27 +214,25 @@ def _backward_scan(xr, yr, match, insert, start, tv):
         new = (m_row, ix_row, iy_row, jx_row, jy_row)
         return (new, u + 1), new
 
-    (_, _), rows = jax.lax.scan(step, (row0, jnp.int32(1)), (xr, ins_x))
+    (_, _), rows = jax.lax.scan(step, (row0, jnp.int32(1)), (e_rev, ins_x))
     return tuple(jnp.concatenate([r0[None], rs])
                  for r0, rs in zip(row0, rows))
 
 
-def _pair_posterior(x, y, lx, ly, match, insert, start, tv):
-    """Posterior matrix + total log-prob for a single (padded) pair.
+def _pair_posterior_e(e, e_rev, ins_x, ins_y, ins_xr, ins_yr,
+                      lx, ly, start, tv):
+    """Posterior matrix + total log-prob for a single (padded) pair,
+    from precomputed (reversed) emission matrices and insert vectors.
 
     Returns (post (Bx, By) f32 zero outside valid region, total f32 scalar).
     """
-    Bx = x.shape[0]
-    By = y.shape[0]
-
-    F = _forward_scan(x, y, None, match, insert, start, tv)
-
-    # reversed sequences: xr[u] = x[lx-1-u] for u < lx (garbage beyond)
+    Bx = e.shape[0]
+    By = e.shape[1]
     ii = jnp.arange(Bx)
-    xr = x[jnp.clip(lx - 1 - ii, 0, Bx - 1)]
     jj = jnp.arange(By)
-    yr = y[jnp.clip(ly - 1 - jj, 0, By - 1)]
-    RB = _backward_scan(xr, yr, match, insert, start, tv)
+
+    F = _forward_scan(e, ins_x, ins_y, start, tv)
+    RB = _backward_scan(e_rev, ins_xr, ins_yr, start, tv)
 
     # total prob: LOG_ADD fold over states of F[s](lx,ly) + B[s](lx,ly)
     # where B(lx,ly) = RB(0,0) = start scores (src/totalprobflat.cpp:3-16)
@@ -245,10 +242,10 @@ def _pair_posterior(x, y, lx, ly, match, insert, start, tv):
 
     # posterior: P[i-1,j-1] = exp(F_M(i,j) + B_M(i,j) - total), thresholded
     f_m = F[0][1:, 1:]                       # (Bx, By) at (i,j), i,j >= 1
-    # B_M(i,j) = RB_M(lx-i, ly-j) -> gather with flipped indices
-    iu = jnp.clip(lx - 1 - ii, 0, Bx)        # row index (lx - i) for i=ii+1
-    jv = jnp.clip(ly - 1 - jj, 0, By)
-    b_m = RB[0][iu[:, None], jv[None, :]]
+    # B_M(i,j) = RB_M(lx-i, ly-j): flip + roll (cheap slices, no gather);
+    # RB rows 0..Bx represent u; we need u = lx-i for i = 1..Bx
+    rbm = RB[0][:Bx, :By]                    # u = 0..Bx-1, v = 0..By-1
+    b_m = jnp.roll(rbm[::-1, ::-1], shift=(lx - Bx, ly - By), axis=(0, 1))
     score = f_m + b_m - total
     valid = (ii[:, None] < lx) & (jj[None, :] < ly)
     post = jnp.where((score >= MIN_SPARSE_SCORE) & valid,
@@ -278,6 +275,28 @@ def _mea_score(post, lx, ly):
     return final[By]
 
 
+def reverse_padded(arr, lens, axis_len):
+    """Per-row reverse of right-padded data: out[k] = arr[len-1-k]."""
+    return jax.vmap(lambda a, l: jnp.roll(jnp.flip(a, 0), l - axis_len,
+                                          axis=0))(arr, lens)
+
+
+@partial(jax.jit, static_argnames=("with_mea",))
+def batch_posteriors_emissions(e, e_rev, ins_x, ins_y, ins_xr, ins_yr,
+                               lxb, lyb, start, tv, with_mea: bool = True):
+    """Posteriors (+ EA) from precomputed emission matrices — shared by
+    the letter pair-HMM and the Muscle-3D feature-profile HMM."""
+    post, _total = jax.vmap(
+        lambda *a: _pair_posterior_e(*a, start, tv)
+    )(e, e_rev, ins_x, ins_y, ins_xr, ins_yr, lxb, lyb)
+    if with_mea:
+        scores = jax.vmap(_mea_score)(post, lxb, lyb)
+        ea = scores / jnp.minimum(lxb, lyb).astype(jnp.float32)
+    else:
+        ea = jnp.zeros(e.shape[0], jnp.float32)
+    return post, ea
+
+
 @partial(jax.jit, static_argnames=("with_mea",))
 def batch_posteriors(xb, yb, lxb, lyb, match, insert, start, tv,
                      with_mea: bool = True):
@@ -296,15 +315,15 @@ def batch_posteriors(xb, yb, lxb, lyb, match, insert, start, tv,
             (reference: src/calcposteriorflat.cpp:89-91) — zeros if
             with_mea=False.
     """
-    post, _total = jax.vmap(
-        lambda x, y, lx, ly: _pair_posterior(x, y, lx, ly, match, insert, start, tv)
-    )(xb, yb, lxb, lyb)
-    if with_mea:
-        scores = jax.vmap(_mea_score)(post, lxb, lyb)
-        ea = scores / jnp.minimum(lxb, lyb).astype(jnp.float32)
-    else:
-        ea = jnp.zeros(xb.shape[0], jnp.float32)
-    return post, ea
+    b, bx = xb.shape
+    by = yb.shape[1]
+    xr = reverse_padded(xb, lxb, bx)
+    yr = reverse_padded(yb, lyb, by)
+    e = jax.vmap(lambda x, y: match[x][:, y])(xb, yb)
+    e_rev = jax.vmap(lambda x, y: match[x][:, y])(xr, yr)
+    return batch_posteriors_emissions(
+        e, e_rev, insert[xb], insert[yb], insert[xr], insert[yr],
+        lxb, lyb, start, tv, with_mea=with_mea)
 
 
 def score_args(pack):

@@ -1,0 +1,503 @@
+"""Pallas TPU kernels for the pair-HMM Forward/Backward and MEA DP.
+
+Same math as ops/pairhmm.py (the XLA-scan reference implementation,
+validated against the per-cell oracle), restructured for the TPU
+memory/compute model:
+
+* One grid program processes a tile of P pairs; the inner grid axis
+  walks DP rows, with the five state rows living in VMEM scratch across
+  grid steps. Emissions are precomputed as (B, L, L) matrices by two
+  one-hot MXU matmuls and streamed row-by-row through the pipelined
+  BlockSpec — the kernel itself does no gathers.
+* The within-row IY/JY dependence u_j = LOG_ADD(u_{j-1}+a_j, c_j) is a
+  log-semiring affine recurrence solved with a Hillis-Steele scan:
+  log2(L) rounds of lane-roll + LOG_ADD on the (P, L) block.
+* Backward runs as a forward-style scan over reversed sequences
+  (identical trick to ops/pairhmm.py) so right-padded batches stay
+  correct.
+
+reference: src/fwdflat3.cpp, src/bwdflat3.cpp, src/calcposteriorflat.cpp,
+src/calcalnscoreflat.cpp (semantics); SURVEY §3.4 / §7 (why this is the
+primary Pallas target).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .logspace import LOG_ZERO, LOG_UNDERFLOW, logexp1
+from .pairhmm import MIN_SPARSE_SCORE
+
+NEG_BIG = -1e30  # sentinel more negative than any reachable score sum
+
+# params vector layout (SMEM): [tSM, tSI, tSJ, tMM, tMI, tMJ, tII, tIM,
+#                               tJJ, tJM, 0...]
+P_TSM, P_TSI, P_TSJ, P_TMM, P_TMI, P_TMJ, P_TII, P_TIM, P_TJJ, P_TJM = range(10)
+
+
+def _log_add(x, y):
+    hi = jnp.maximum(x, y)
+    lo = jnp.minimum(x, y)
+    d = hi - lo
+    small = (lo <= LOG_ZERO) | (d >= LOG_UNDERFLOW)
+    return jnp.where(small, hi, lo + logexp1(jnp.clip(d, 0.0, LOG_UNDERFLOW)))
+
+
+def _log_add5(x1, x2, x3, x4, x5):
+    return _log_add(x1, _log_add(x2, _log_add(x3, _log_add(x4, x5))))
+
+
+def _shift_fill(x, fill):
+    """Shift lanes right by one; lane 0 takes `fill` ((P,1) or scalar)."""
+    rolled = pltpu.roll(x, 1, 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(lane == 0, fill, rolled)
+
+
+def _affine_scan(a, c, width):
+    """Inclusive scan of T_j(u) = LOG_ADD(u + a_j, c_j) with u_0 = -inf.
+
+    Returns u_j = C_j of the composed transform. Hillis-Steele over
+    lanes: compose(s_j, s_{j-k}) = (a_j + a_{j-k},
+    LOG_ADD(c_{j-k} + a_j, c_j)).
+    """
+    lane = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
+    k = 1
+    while k < width:
+        a_s = pltpu.roll(a, k, 1)
+        c_s = pltpu.roll(c, k, 1)
+        valid = lane >= k
+        a_prev = jnp.where(valid, a_s, 0.0)
+        c_prev = jnp.where(valid, c_s, NEG_BIG)
+        c = _log_add(c_prev + a, c)
+        a = a + a_prev
+        k *= 2
+    return c
+
+
+def _cumsum_lanes(x, width):
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    k = 1
+    while k < width:
+        s = pltpu.roll(x, k, 1)
+        x = x + jnp.where(lane >= k, s, 0.0)
+        k *= 2
+    return x
+
+
+def _max_scan_lanes(x, width):
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    k = 1
+    while k < width:
+        s = pltpu.roll(x, k, 1)
+        x = jnp.maximum(x, jnp.where(lane >= k, s, NEG_BIG))
+        k *= 2
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(params, e_ref, insx_ref, insy_ref, lymask_ref,
+                m_out_ref, sly_ref,
+                m_s, ix_s, iy_s, jx_s, jy_s, c0_s):
+    """Grid step i computes DP row i+1; scratch carries row i.
+
+    Refs (row-major layouts put the large axes in the tiled minor
+    positions): e (1,P,L) emission row block of the (Lx,B,Ly) lattice;
+    insx (P,Lx) full rows; insy/lymask (P,L); m_out (1,P,L) row of the
+    (Lx,B,Ly) M lattice; sly (1,P,128) 5 states at column ly.
+    Scratch: five (P,L) state rows + c0 (P,128) col-0 IX/JX.
+    """
+    i = pl.program_id(1)
+    L = insy_ref.shape[1]
+    tSM = params[0, P_TSM]
+    tSI = params[0, P_TSI]
+    tSJ = params[0, P_TSJ]
+    tMM = params[0, P_TMM]
+    tMI = params[0, P_TMI]
+    tMJ = params[0, P_TMJ]
+    tII = params[0, P_TII]
+    tIM = params[0, P_TIM]
+    tJJ = params[0, P_TJJ]
+    tJM = params[0, P_TJM]
+
+    insy = insy_ref[:, :]
+
+    @pl.when(i == 0)
+    def _():
+        # row 0 boundary (reference: src/fwdflat3.cpp:35-93)
+        lz = jnp.full(insy.shape, LOG_ZERO, jnp.float32)
+        cum = _cumsum_lanes(insy + tII, L)
+        m_s[:, :] = lz
+        ix_s[:, :] = lz
+        jx_s[:, :] = lz
+        iy_s[:, :] = tSI - tII + cum
+        cumj = _cumsum_lanes(insy + tJJ, L)
+        jy_s[:, :] = tSJ - tJJ + cumj
+        c0_s[:, :] = jnp.full(c0_s.shape, LOG_ZERO, jnp.float32)
+
+    m_p = m_s[:, :]
+    ix_p = ix_s[:, :]
+    iy_p = iy_s[:, :]
+    jx_p = jx_s[:, :]
+    jy_p = jy_s[:, :]
+    ix0_p = c0_s[:, 0:1]
+    jx0_p = c0_s[:, 1:2]
+
+    e_row = e_ref[0, :, :]
+    # dynamic lane extraction via mask+max (unaligned pl.ds on the lane
+    # axis is not lowerable)
+    xlane = jax.lax.broadcasted_iota(jnp.int32, insx_ref.shape, 1)
+    insx = jnp.max(jnp.where(xlane == i, insx_ref[:, :], NEG_BIG),
+                   axis=1, keepdims=True)   # (P, 1)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, e_row.shape, 1)
+
+    # M row (predecessors at (i-1, j-1) -> shift right)
+    m_new = _log_add5(_shift_fill(m_p, LOG_ZERO) + tMM,
+                      _shift_fill(ix_p, ix0_p) + tIM,
+                      _shift_fill(jx_p, jx0_p) + tJM,
+                      _shift_fill(iy_p, LOG_ZERO) + tIM,
+                      _shift_fill(jy_p, LOG_ZERO) + tJM) + e_row
+    m_new = jnp.where((i == 0) & (lane == 0), tSM + e_row, m_new)
+
+    # IX/JX rows (predecessors at (i-1, j))
+    ix_new = _log_add(ix_p + tII, m_p + tMI) + insx
+    jx_new = _log_add(jx_p + tJJ, m_p + tMJ) + insx
+
+    # column-0 chain
+    ix0_new = jnp.where(i == 0, tSI + insx, ix0_p + tII + insx)
+    jx0_new = jnp.where(i == 0, tSJ + insx, jx0_p + tJJ + insx)
+
+    # IY/JY rows: affine recurrence along lanes
+    iy_new = _affine_scan(insy + tII,
+                          _shift_fill(m_new, LOG_ZERO) + tMI + insy, L)
+    jy_new = _affine_scan(insy + tJJ,
+                          _shift_fill(m_new, LOG_ZERO) + tMJ + insy, L)
+
+    m_s[:, :] = m_new
+    ix_s[:, :] = ix_new
+    iy_s[:, :] = iy_new
+    jx_s[:, :] = jx_new
+    jy_s[:, :] = jy_new
+    c0_s[:, 0:1] = ix0_new
+    c0_s[:, 1:2] = jx0_new
+
+    m_out_ref[0, :, :] = m_new
+
+    # states at column ly (for the total-probability fold)
+    sel = lymask_ref[:, :] > 0.5
+    pick = lambda v: jnp.max(jnp.where(sel, v, NEG_BIG), axis=1, keepdims=True)
+    sly = jnp.concatenate(
+        [pick(m_new), pick(ix_new), pick(iy_new), pick(jx_new), pick(jy_new),
+         jnp.zeros((m_new.shape[0], 128 - 5), jnp.float32)], axis=1)
+    sly_ref[0, :, :] = sly
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel (forward-style over reversed sequences)
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(params, e_ref, insx_ref, insy_ref,
+                m_out_ref,
+                m_s, ix_s, iy_s, jx_s, jy_s, c0_s):
+    """Grid step u computes RB row u; m_out row u holds RB_M(u, v) for
+    v = 0..L-1 (column v=0 included via the shifted write).
+    reference: src/bwdflat3.cpp:10-190.
+    """
+    u = pl.program_id(1)
+    L = insy_ref.shape[1]
+    tSM = params[0, P_TSM]
+    tSI = params[0, P_TSI]
+    tSJ = params[0, P_TSJ]
+    tMM = params[0, P_TMM]
+    tMI = params[0, P_TMI]
+    tMJ = params[0, P_TMJ]
+    tII = params[0, P_TII]
+    tIM = params[0, P_TIM]
+    tJJ = params[0, P_TJJ]
+    tJM = params[0, P_TJM]
+
+    insy = insy_ref[:, :]
+
+    @pl.when(u == 0)
+    def _():
+        lz = jnp.full(insy.shape, LOG_ZERO, jnp.float32)
+        iy0 = tSI + _cumsum_lanes(insy + tII, L)
+        jy0 = tSJ + _cumsum_lanes(insy + tJJ, L)
+        m0 = _log_add(tMI + _shift_fill(iy0, tSI) + insy,
+                      tMJ + _shift_fill(jy0, tSJ) + insy)
+        m_s[:, :] = m0
+        ix_s[:, :] = lz
+        jx_s[:, :] = lz
+        iy_s[:, :] = iy0
+        jy_s[:, :] = jy0
+        c0lane = jax.lax.broadcasted_iota(jnp.int32, c0_s.shape, 1)
+        # lanes: 0 = IX(0,0)=tSI, 1 = JX(0,0)=tSJ, 2 = M(0,0)=tSM
+        c0_s[:, :] = jnp.where(
+            c0lane == 0, tSI,
+            jnp.where(c0lane == 1, tSJ,
+                      jnp.where(c0lane == 2, tSM, 0.0)))
+        m_out_ref[0, :, :] = _shift_fill(m0, tSM)
+
+    @pl.when(u > 0)
+    def _():
+        m_p = m_s[:, :]
+        ix_p = ix_s[:, :]
+        iy_p = iy_s[:, :]
+        jx_p = jx_s[:, :]
+        jy_p = jy_s[:, :]
+        ix0_p = c0_s[:, 0:1]
+        jx0_p = c0_s[:, 1:2]
+        m0_p = c0_s[:, 2:3]
+
+        e_row = e_ref[0, :, :]
+        xlane = jax.lax.broadcasted_iota(jnp.int32, insx_ref.shape, 1)
+        insx = jnp.max(jnp.where(xlane == u - 1, insx_ref[:, :], NEG_BIG),
+                       axis=1, keepdims=True)
+
+        next_m = _shift_fill(m_p, m0_p) + e_row   # (u-1, v-1)
+        next_ix = ix_p + insx                      # (u-1, v)
+        next_jx = jx_p + insx
+
+        ix_new = _log_add(tII + next_ix, tIM + next_m)
+        jx_new = _log_add(tJJ + next_jx, tJM + next_m)
+        ix0_new = tII + ix0_p + insx
+        jx0_new = tJJ + jx0_p + insx
+        m0_new = _log_add(tMI + ix0_p + insx, tMJ + jx0_p + insx)
+
+        iy_new = _affine_scan(insy + tII, tIM + next_m, L)
+        jy_new = _affine_scan(insy + tJJ, tJM + next_m, L)
+
+        next_iy = _shift_fill(iy_new, LOG_ZERO) + insy
+        next_jy = _shift_fill(jy_new, LOG_ZERO) + insy
+        m_new = _log_add5(tMM + next_m,
+                          tMI + next_ix,
+                          tMJ + next_jx,
+                          tMI + next_iy,
+                          tMJ + next_jy)
+
+        m_s[:, :] = m_new
+        ix_s[:, :] = ix_new
+        iy_s[:, :] = iy_new
+        jx_s[:, :] = jx_new
+        jy_s[:, :] = jy_new
+        c0_s[:, 0:1] = ix0_new
+        c0_s[:, 1:2] = jx0_new
+        c0_s[:, 2:3] = m0_new
+
+        m_out_ref[0, :, :] = _shift_fill(m_new, m0_new)
+
+
+# ---------------------------------------------------------------------------
+# MEA score kernel
+# ---------------------------------------------------------------------------
+
+def _mea_kernel(post_ref, out_ref, row_s):
+    """Row-scan MEA DP; out holds the running row and after the final
+    grid step its last lane is the alignment score at (lx, ly)
+    (posterior is zero outside the valid region, values monotone).
+    reference: src/calcalnscoreflat.cpp:4-32.
+    """
+    i = pl.program_id(1)
+    L = post_ref.shape[2]
+
+    @pl.when(i == 0)
+    def _():
+        row_s[:, :] = jnp.zeros(row_s.shape, jnp.float32)
+
+    old = row_s[:, :]
+    p = post_ref[0, :, :]
+    e = jnp.maximum(_shift_fill(old, 0.0) + p, old)
+    new = _max_scan_lanes(jnp.maximum(e, 0.0), L)
+    row_s[:, :] = new
+    out_ref[:, :] = new[:, L - 1:L]
+
+
+# ---------------------------------------------------------------------------
+# Host wrappers
+# ---------------------------------------------------------------------------
+
+def emission_matrix(codes_x, codes_y, match):
+    """(B, Lx), (B, Ly) int codes -> (B, Lx, Ly) match-score lattice via
+    two one-hot MXU matmuls (exact selection; no gathers)."""
+    k = match.shape[0]
+    ox = jax.nn.one_hot(codes_x, k, dtype=jnp.float32)
+    oy = jax.nn.one_hot(codes_y, k, dtype=jnp.float32)
+    xm = jax.lax.dot_general(ox, match, (((2,), (0,)), ((), ())),
+                             precision=jax.lax.Precision.HIGHEST)
+    return jax.lax.dot_general(xm, oy, (((2,), (2,)), ((0,), (0,))),
+                               precision=jax.lax.Precision.HIGHEST)
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _fwd_pallas(e_t, insx, insy, lymask, params, tile_p):
+    """e_t: (Lx, B, Ly) emission lattice; returns ((Lx, B, Ly) M lattice,
+    (Lx, B, 128) per-row states at column ly)."""
+    lx, b, ly = e_t.shape
+    grid = (b // tile_p, lx)
+    m_lat, sly = pl.pallas_call(
+        _fwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 16), lambda t, i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, tile_p, ly), lambda t, i: (i, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_p, lx), lambda t, i: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_p, ly), lambda t, i: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_p, ly), lambda t, i: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile_p, ly), lambda t, i: (i, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_p, 128), lambda t, i: (i, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((lx, b, ly), jnp.float32),
+            jax.ShapeDtypeStruct((lx, b, 128), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((tile_p, ly), jnp.float32)] * 5
+        + [pltpu.VMEM((tile_p, 128), jnp.float32)],
+    )(params, e_t, insx, insy, lymask)
+    return m_lat, sly
+
+
+def _bwd_pallas(e_rev_t, insx_rev, insy_rev, params, tile_p):
+    """e_rev_t: (Lx, B, Ly) reversed emission lattice; returns the
+    (Lx, B, Ly) RB_M lattice (row u, cols v=0..Ly-1)."""
+    lx, b, ly = e_rev_t.shape
+    grid = (b // tile_p, lx)
+    m_lat = pl.pallas_call(
+        _bwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 16), lambda t, i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            # grid step u consumes emission row u-1 (row 0 is the
+            # init-only boundary step and reads a dummy block)
+            pl.BlockSpec((1, tile_p, ly),
+                         lambda t, i: (jnp.maximum(i - 1, 0), t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_p, lx), lambda t, i: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_p, ly), lambda t, i: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_p, ly), lambda t, i: (i, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((lx, b, ly), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tile_p, ly), jnp.float32)] * 5
+        + [pltpu.VMEM((tile_p, 128), jnp.float32)],
+    )(params, e_rev_t, insx_rev, insy_rev)
+    return m_lat
+
+
+def mea_scores_pallas(post_t, tile_p=8):
+    """post_t: (Lx, B, Ly) posterior lattice; returns (B,) MEA scores."""
+    lx, b, ly = post_t.shape
+    grid = (b // tile_p, lx)
+    out = pl.pallas_call(
+        _mea_kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, tile_p, ly), lambda t, i: (i, t, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((tile_p, 1), lambda t, i: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 1), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tile_p, ly), jnp.float32)],
+    )(post_t)
+    return out[:, 0]
+
+
+@partial(jax.jit, static_argnames=("with_mea", "tile_p"))
+def batch_posteriors_pallas_emissions(e, e_rev, ins_x, ins_y, ins_xr,
+                                      ins_yr, lxb, lyb, start, tv,
+                                      with_mea: bool = True,
+                                      tile_p: int = 8):
+    """Pallas posterior path from precomputed emission matrices —
+    shared by the letter pair-HMM and the Muscle-3D profile HMM."""
+    b, bx, by = e.shape
+    ii = jnp.arange(bx)
+    jj = jnp.arange(by)
+    lymask = (jj[None, :] == (lyb[:, None] - 1)).astype(jnp.float32)
+
+    params = jnp.zeros((1, 16), jnp.float32)
+    params = params.at[0, P_TSM].set(start[0])
+    params = params.at[0, P_TSI].set(start[1])
+    params = params.at[0, P_TSJ].set(start[3])
+    params = params.at[0, 3:10].set(tv[:7])
+
+    fm_t, sly_t = _fwd_pallas(e.transpose(1, 0, 2), ins_x, ins_y, lymask,
+                              params, tile_p)
+    rbm_t = _bwd_pallas(e_rev.transpose(1, 0, 2), ins_xr, ins_yr,
+                        params, tile_p)
+    fm = fm_t.transpose(1, 0, 2)           # (B, Lx, Ly), rows i=1..Lx
+    rbm = rbm_t.transpose(1, 0, 2)         # (B, Lx, Ly), rows u=0..Lx-1
+    sly = sly_t.transpose(1, 0, 2)         # (B, Lx, 128)
+
+    # total prob: F[s](lx, ly) + start scores (= B[s](lx, ly))
+    bstart = jnp.stack([start[0], start[1], start[1], start[3], start[3]])
+    # note kernel sly layout: [M, IX, IY, JX, JY]
+    idx = jnp.broadcast_to((lxb - 1).astype(jnp.int32)[:, None, None],
+                           (b, 1, 5))
+    f_end = jnp.take_along_axis(sly[..., :5], idx, axis=1)[:, 0, :]  # (B, 5)
+    tot = jnp.full((b,), LOG_ZERO, jnp.float32)
+    for s in range(5):
+        tot = _log_add(tot, f_end[:, s] + bstart[s])
+
+    # posterior: combine F_M(i,j) with RB_M(lx-i, ly-j); the flip is a
+    # full reverse + per-pair roll (valid region only — padding is
+    # masked below)
+    b_m = jax.vmap(
+        lambda rb, lx, ly: jnp.roll(rb[::-1, ::-1],
+                                    shift=(lx - bx, ly - by), axis=(0, 1))
+    )(rbm, lxb, lyb)
+    score = fm + b_m - tot[:, None, None]
+    valid = (ii[None, :, None] < lxb[:, None, None]) & \
+            (jj[None, None, :] < lyb[:, None, None])
+    post = jnp.where((score >= MIN_SPARSE_SCORE) & valid,
+                     jnp.exp(jnp.minimum(score, 0.0)), 0.0).astype(jnp.float32)
+
+    if with_mea:
+        scores = mea_scores_pallas(post.transpose(1, 0, 2), tile_p)
+        ea = scores / jnp.minimum(lxb, lyb).astype(jnp.float32)
+    else:
+        ea = jnp.zeros((b,), jnp.float32)
+    return post, ea
+
+
+@partial(jax.jit, static_argnames=("with_mea", "tile_p"))
+def batch_posteriors_pallas(xb, yb, lxb, lyb, match, insert, start, tv,
+                            with_mea: bool = True, tile_p: int = 8):
+    """Drop-in Pallas equivalent of ops.pairhmm.batch_posteriors.
+
+    xb/yb must be padded to a 128-multiple length and B must be a
+    multiple of tile_p (posteriors.all_pairs_posteriors arranges this).
+    """
+    b, bx = xb.shape
+    by = yb.shape[1]
+    # reversed sequences: xr[u] = x[lx-1-u] = roll(flip(x), lx - Bx)
+    # (roll-of-flip lowers to two slices; per-element gathers are slow)
+    xr = jax.vmap(lambda x, lx: jnp.roll(x[::-1], lx - bx))(xb, lxb)
+    yr = jax.vmap(lambda y, ly: jnp.roll(y[::-1], ly - by))(yb, lyb)
+    e = emission_matrix(xb, yb, match)
+    e_rev = emission_matrix(xr, yr, match)
+    return batch_posteriors_pallas_emissions(
+        e, e_rev, insert[xb], insert[yb], insert[xr], insert[yr],
+        lxb, lyb, start, tv, with_mea=with_mea, tile_p=tile_p)

@@ -39,13 +39,15 @@ class MPC:
                  tree_perm: str | None = None,
                  batch_size: int = 32,
                  guide_tree_in: Tree | None = None,
-                 input_order: bool = False):
+                 input_order: bool = False,
+                 mega=None):
         self.consistency_iters = consistency_iters
         self.refine_iters = refine_iters
         self.tree_perm = tree_perm
         self.batch_size = batch_size
         self.guide_tree_in = guide_tree_in
         self.input_order = input_order
+        self.mega = mega          # MegaProfileSet for Muscle-3D emissions
         self.guide_tree: Tree | None = None
         self.dist_mx: np.ndarray | None = None
 
@@ -68,15 +70,28 @@ class MPC:
         label_to_index = {lb: i for i, lb in enumerate(labels)}
 
         pack = hp.to_scores()
-        # pad to a 64-multiple bucket so families with similar lengths
-        # share one XLA compilation of the scan kernels
+        # pad to a 128-multiple bucket (lane width; also means families
+        # with similar lengths share one kernel compilation)
         lmax = max(len(s) for s in unique)
-        codes, lens = post_mod.encode_batch(
-            unique, alpha, pad_to=post_mod.round_up(lmax, 64))
+        pad_to = post_mod.round_up(lmax, 128)
         pairs = [(x, y) for x in range(n) for y in range(x + 1, n)]
 
-        post_arr, ea = post_mod.all_pairs_posteriors(
-            codes, lens, pack, pairs, batch_size=self.batch_size)
+        if self.mega is not None:
+            # Muscle-3D: emissions from feature profiles, matched by label
+            # (reference: MPCFlat_mega, src/mpcflat_mega.cpp)
+            from ..ops.emissions import pad_profiles
+            prof_by_label = {lb: p for lb, p in
+                             zip(self.mega.labels, self.mega.profiles)}
+            profs = [prof_by_label[s.label] for s in unique]
+            lens = np.array([p.shape[0] for p in profs], dtype=np.int32)
+            profiles = pad_profiles(profs, pad_to)
+            post_arr, ea = post_mod.all_pairs_posteriors_mega(
+                profiles, lens, self.mega, pack, pairs,
+                batch_size=self.batch_size)
+        else:
+            codes, lens = post_mod.encode_batch(unique, alpha, pad_to=pad_to)
+            post_arr, ea = post_mod.all_pairs_posteriors(
+                codes, lens, pack, pairs, batch_size=self.batch_size)
         self.dist_mx = post_mod.ea_dist_matrix(n, pairs, ea)
 
         # guide tree BEFORE consistency (reference: src/mpcflat.cpp:306-310)
@@ -161,13 +176,16 @@ def align(seqs: MultiSequence, *,
           hmm_params: HMMParams | None = None,
           batch_size: int = 32,
           guide_tree_in: Tree | None = None,
-          input_order: bool = False) -> MultiSequence:
+          input_order: bool = False,
+          mega=None) -> MultiSequence:
     """Align a set of unaligned sequences (reference: -align, src/align.cpp).
 
     Top-level convenience covering the single-replicate path; ensembles
     drive MPC directly (pipeline/ensemble.py).
     """
-    if nucleo is None:
+    if mega is not None:
+        nucleo = False            # structure profiles are protein chains
+    elif nucleo is None:
         nucleo = guess_is_nucleo(seqs, MwcRng(1))
     alpha = ALPHA_NUCLEO if nucleo else ALPHA_AMINO
 
@@ -178,7 +196,8 @@ def align(seqs: MultiSequence, *,
     mpc = MPC(consistency_iters=consistency_iters,
               refine_iters=refine_iters,
               tree_perm=tree_perm, batch_size=batch_size,
-              guide_tree_in=guide_tree_in, input_order=input_order)
+              guide_tree_in=guide_tree_in, input_order=input_order,
+              mega=mega)
     msa = mpc.run(seqs, hp, alpha)
     if input_order:
         by_label = {s.label: s for s in msa}

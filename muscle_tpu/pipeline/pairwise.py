@@ -1,0 +1,64 @@
+"""Batched pairwise alignment service over a fixed sequence set.
+
+Everything in the scalability pipelines (UCLUST candidate verification,
+EA distance matrices, PProg pair sampling) reduces to "align these
+(i, j) pairs of raw sequences" — exactly the batched device kernel.
+This wraps encoding/padding once and exposes list-of-pairs APIs
+(reference equivalents: AlignPairFlat src/alignpairflat.cpp:23,
+CalcEADistMx src/eadistmx.cpp:7).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..alphabet import alphabet_size
+from ..ops.mea import mea_align
+from ..sequence import MultiSequence
+from . import posteriors as post_mod
+
+
+class PairAligner:
+    def __init__(self, seqs, pack, alpha: str, batch_size: int = 32,
+                 backend: str = "auto"):
+        self.pack = pack
+        self.alpha = alpha
+        self.batch_size = batch_size
+        self.backend = backend
+        if isinstance(seqs, MultiSequence):
+            seqs = list(seqs)
+        self.seqs = seqs
+        lmax = max((len(s) for s in seqs), default=1)
+        self.codes, self.lens = post_mod.encode_batch(
+            seqs, alpha, pad_to=post_mod.round_up(lmax, 128))
+
+    def posteriors(self, pairs: list[tuple[int, int]], with_mea: bool = True):
+        """Returns (posts padded (P, L, L), ea (P,))."""
+        return post_mod.all_pairs_posteriors(
+            self.codes, self.lens, self.pack, pairs,
+            batch_size=self.batch_size, with_mea=with_mea,
+            backend=self.backend)
+
+    def ea(self, pairs: list[tuple[int, int]]) -> np.ndarray:
+        _, ea = self.posteriors(pairs, with_mea=True)
+        return ea
+
+    def ea_dist_matrix(self, n: int | None = None) -> np.ndarray:
+        n = n if n is not None else len(self.seqs)
+        pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
+        return post_mod.ea_dist_matrix(n, pairs, self.ea(pairs))
+
+    def align_pairs(self, pairs: list[tuple[int, int]]
+                    ) -> list[tuple[float, str]]:
+        """(EA, path) per pair — pair-HMM posterior + MEA DP + traceback
+        (reference: AlignPairFlat)."""
+        posts, ea = self.posteriors(pairs)
+        out = []
+        for k, (i, j) in enumerate(pairs):
+            p = posts[k, :self.lens[i], :self.lens[j]]
+            _, path = mea_align(p)
+            out.append((float(ea[k]), path))
+        return out
+
+    def align_pair(self, i: int, j: int) -> tuple[float, str]:
+        return self.align_pairs([(i, j)])[0]
