@@ -44,9 +44,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    B = int(os.environ.get("BENCH_BATCH", 64))
+    B = int(os.environ.get("BENCH_BATCH", 512))
     L = int(os.environ.get("BENCH_LEN", 512))
     iters = int(os.environ.get("BENCH_ITERS", 5))
+    backend = os.environ.get("BENCH_BACKEND", "auto")
+    if backend == "auto":
+        backend = "scan" if jax.default_backend() == "cpu" else "pallas"
 
     pack = HMMParams.from_defaults().to_scores()
     args = pairhmm.score_args(pack)
@@ -55,9 +58,17 @@ def main():
     yb = jnp.asarray(rng.integers(0, 20, size=(B, L)).astype(np.int32))
     lb = jnp.full((B,), L, jnp.int32)
 
-    def step():
-        post, ea = pairhmm.batch_posteriors(xb, yb, lb, lb, *args)
-        return ea
+    if backend == "pallas":
+        from muscle_tpu.ops.pairhmm_pallas import batch_posteriors_pallas
+
+        def step():
+            post, ea = batch_posteriors_pallas(xb, yb, lb, lb, *args,
+                                               tile_p=32)
+            return ea
+    else:
+        def step():
+            post, ea = pairhmm.batch_posteriors(xb, yb, lb, lb, *args)
+            return ea
 
     # warmup/compile; np.asarray forces a real device round-trip — through
     # the remote-TPU tunnel block_until_ready alone returns early

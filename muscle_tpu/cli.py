@@ -62,8 +62,9 @@ def parse_args(argv: list[str]) -> tuple[str | None, str | None, dict]:
     arg1 = None
     opts: dict[str, object] = {}
     flag_cmds = {
-        "align", "super5", "qscore", "disperse", "maxcc", "resample",
-        "efa_explode", "fa2efa", "addconfseq", "letterconf", "bench",
+        "align", "super5", "super7", "qscore", "disperse", "maxcc",
+        "resample", "efa_explode", "fa2efa", "addconfseq", "letterconf",
+        "bench", "consseq", "guide_tree",
     }
     bool_opts = {"stratified", "diversified", "quiet", "nt", "amino",
                  "input_order", "tree_order", "verbose", "bysequence",
@@ -111,8 +112,10 @@ def main(argv: list[str] | None = None) -> int:
         print(f"muscle-tpu {__version__}")
         return 0
 
-    if cmd in ("align", "super5"):
+    if cmd in ("align", "super5", "super7"):
         return _cmd_align(cmd, arg1, opts)
+    if cmd == "consseq":
+        return _cmd_consseq(arg1, opts)
     if cmd == "qscore":
         return _cmd_qscore(arg1, opts)
     if cmd == "disperse":
@@ -146,6 +149,23 @@ def _cmd_align(cmd: str, arg1: str, opts: dict) -> int:
     if not out:
         raise SystemExit("must set -output")
     run_align_command(cmd, arg1, out, opts)
+    return 0
+
+
+def _cmd_consseq(arg1: str, opts: dict) -> int:
+    from .pipeline.super4 import consensus_sequence
+    from .alphabet import ALPHA_AMINO, ALPHA_NUCLEO, guess_is_nucleo
+    from .utils.rng import MwcRng
+    msa = MultiSequence.from_fasta(arg1)
+    alpha = (ALPHA_NUCLEO if guess_is_nucleo(msa, MwcRng(1)) else ALPHA_AMINO)
+    label = str(opts.get("label", "CONSENSUS"))
+    out = opts.get("output")
+    from .sequence import Sequence
+    cons = MultiSequence([Sequence(label, consensus_sequence(msa, alpha))])
+    if out:
+        cons.write_fasta(str(out))
+    else:
+        print(cons.to_fasta_text(), end="")
     return 0
 
 

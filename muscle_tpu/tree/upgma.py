@@ -32,6 +32,30 @@ def fix_ea_distmx(distmx: np.ndarray) -> np.ndarray:
     return d.astype(np.float32)
 
 
+def read_distmx_reseek(path: str) -> tuple[list[str], np.ndarray]:
+    """Reseek distmx format (reference: UPGMA5::ReadDistMx2,
+    src/upgma5.cpp:~430): header `distmx\\tN`, N label lines, then
+    `i\\tj\\tdist` pairs; missing pairs default to 0."""
+    with open(path) as f:
+        lines = [ln.rstrip("\n") for ln in f if ln.strip()]
+    hdr = lines[0].split("\t")
+    assert hdr[0] == "distmx"
+    n = int(hdr[1])
+    labels = []
+    for k in range(n):
+        flds = lines[1 + k].split("\t")
+        assert int(flds[0]) == k
+        labels.append(flds[1])
+    d = np.zeros((n, n), dtype=np.float32)
+    for ln in lines[1 + n:]:
+        flds = ln.split("\t")
+        i, j = int(flds[0]), int(flds[1])
+        if i == j:
+            continue
+        d[i, j] = d[j, i] = np.float32(float(flds[2]))
+    return labels, d
+
+
 def upgma5(labels: list[str], distmx: np.ndarray,
            linkage: str = LINKAGE_BIASED) -> Tree:
     n = len(labels)
