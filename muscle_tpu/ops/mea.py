@@ -26,7 +26,15 @@ def mea_align(post: np.ndarray) -> tuple[float, str]:
 
     post: (LX, LY) float32. Path chars: 'B' (match), 'X' (gap in Y),
     'Y' (gap in X), traced from (LX, LY) back to (0, 0).
+
+    Uses the native C++ kernel when available (muscle_tpu/native),
+    falling back to the vectorized numpy rows below.
     """
+    from ..native import mea_align_native
+    r = mea_align_native(post)
+    if r is not None:
+        return r
+
     LX, LY = post.shape
     post = np.ascontiguousarray(post, dtype=np.float32)
 

@@ -49,6 +49,7 @@ def build_post(msa1: MultiSequence, msa2: MultiSequence,
     (reference: src/buildpostflat.cpp:18-106; weights are 1.0 as in
     src/mpcflat.cpp:316-326).
     """
+    from ..native import build_post_accumulate_native
     cc1 = msa1.col_count() if len(msa1[0]) else 0
     cc2 = msa2.col_count()
     out = np.zeros((cc1, cc2), dtype=np.float32)
@@ -59,7 +60,8 @@ def build_post(msa1: MultiSequence, msa2: MultiSequence,
         p1 = s1.pos_to_col()
         for s2, i2, p2 in zip(msa2, idx2, ptc2):
             P = posts.get(i1, i2)
-            out[np.ix_(p1, p2)] += P
+            if not build_post_accumulate_native(out, P, p1, p2):
+                out[np.ix_(p1, p2)] += P
     return out
 
 
