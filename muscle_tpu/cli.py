@@ -64,7 +64,7 @@ def parse_args(argv: list[str]) -> tuple[str | None, str | None, dict]:
     flag_cmds = {
         "align", "super5", "super7", "qscore", "disperse", "maxcc",
         "resample", "efa_explode", "fa2efa", "addconfseq", "letterconf",
-        "bench", "consseq", "guide_tree",
+        "bench", "consseq", "guide_tree", "efastats", "msastats",
     }
     bool_opts = {"stratified", "diversified", "quiet", "nt", "amino",
                  "input_order", "tree_order", "verbose", "bysequence",
@@ -112,10 +112,28 @@ def main(argv: list[str] | None = None) -> int:
         print(f"muscle-tpu {__version__}")
         return 0
 
+    from .utils import logging as mlog
+    mlog.configure(log_path=opts.get("log"), quiet=bool(opts.get("quiet")))
+    mlog.log("muscle-tpu %s", " ".join(argv))
+    try:
+        rc = _dispatch(cmd, arg1, opts)
+    except Exception as e:
+        mlog.progress("---Fatal error---\n%s", e)
+        raise
+    mlog.finish()
+    return rc
+
+
+def _dispatch(cmd: str, arg1: str, opts: dict) -> int:
+
     if cmd in ("align", "super5", "super7"):
         return _cmd_align(cmd, arg1, opts)
     if cmd == "consseq":
         return _cmd_consseq(arg1, opts)
+    if cmd == "efastats":
+        return _cmd_efastats(arg1, opts)
+    if cmd == "msastats":
+        return _cmd_msastats(arg1, opts)
     if cmd == "qscore":
         return _cmd_qscore(arg1, opts)
     if cmd == "disperse":
@@ -166,6 +184,33 @@ def _cmd_consseq(arg1: str, opts: dict) -> int:
         cons.write_fasta(str(out))
     else:
         print(cons.to_fasta_text(), end="")
+    return 0
+
+
+def _cmd_efastats(arg1: str, opts: dict) -> int:
+    """Per-replicate column stats of an EFA (reference: src/efastats.cpp)."""
+    from .pipeline.ensemble import Ensemble
+    ens = Ensemble.from_efa(arg1)
+    uniq = len({k for keys in ens._col_keys for k in keys})
+    print(f"file={arg1} msas={ens.msa_count} unique_cols={uniq}")
+    for i, (name, msa) in enumerate(zip(ens.names, ens.msas)):
+        tc = ens.total_conf(i)
+        print(f"{name}\tseqs={len(msa)}\tcols={msa.col_count()}"
+              f"\ttotal_conf={tc:.1f}\tavg_conf={tc / msa.col_count():.4f}")
+    return 0
+
+
+def _cmd_msastats(arg1: str, opts: dict) -> int:
+    """Basic MSA statistics (reference: src/msastats.cpp)."""
+    import numpy as np
+    msa = MultiSequence.from_fasta(arg1)
+    mat = msa.to_matrix()
+    gaps = (mat == ord("-")) | (mat == ord("."))
+    gap_pct = 100.0 * gaps.mean()
+    lens = [s.ungapped_length() for s in msa]
+    print(f"file={arg1} seqs={len(msa)} cols={msa.col_count()} "
+          f"gap_pct={gap_pct:.1f} min_len={min(lens)} max_len={max(lens)} "
+          f"avg_len={sum(lens) / len(lens):.1f}")
     return 0
 
 
@@ -245,13 +290,19 @@ def _cmd_addconfseq(arg1: str, opts: dict) -> int:
 
 def _cmd_letterconf(arg1: str, opts: dict) -> int:
     from .pipeline.ensemble import Ensemble
-    ref_path = opts.get("ref")
-    if not ref_path:
-        raise SystemExit("must set -ref")
     ens = Ensemble.from_efa(arg1)
-    ref = MultiSequence.from_fasta(ref_path)
-    out = opts.get("output")
-    ens.letter_conf(ref, out)
+    if opts.get("html"):
+        ens.letter_conf_html(str(opts["html"]))
+    if opts.get("jalview"):
+        ens.letter_conf_jalview(str(opts["jalview"]))
+    ref_path = opts.get("ref")
+    if ref_path:
+        ref = MultiSequence.from_fasta(str(ref_path))
+        stats = ens.letter_conf(ref, opts.get("output"))
+        print(f"letterconf Q={stats['Q']:.3g} TC={stats['TC']:.3g} "
+              f"mean_conf={stats['mean_conf']:.3g}")
+    elif not opts.get("html") and not opts.get("jalview"):
+        raise SystemExit("must set -ref, -html, or -jalview")
     return 0
 
 

@@ -31,22 +31,26 @@ def make_mesh(devices=None, axis: str = "dp") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
-def sharded_batch_posteriors(mesh: Mesh, pack, with_mea: bool = True):
+def sharded_batch_posteriors(mesh: Mesh, pack, with_mea: bool = True,
+                             backend: str = "scan"):
     """Returns fn(xb, yb, lxb, lyb) -> (post, ea) with the pair axis
     sharded over the mesh's 'dp' axis. Batch size must be a multiple of
     the mesh size."""
     args = pairhmm.score_args(pack)
     axis = mesh.axis_names[0]
     data_sharding = NamedSharding(mesh, P(axis))
-    rep = NamedSharding(mesh, P())
+
+    if backend == "pallas":
+        from ..ops.pairhmm_pallas import batch_posteriors_pallas as kernel
+    else:
+        kernel = pairhmm.batch_posteriors
 
     @partial(jax.jit,
              in_shardings=(data_sharding, data_sharding,
                            data_sharding, data_sharding),
              out_shardings=(data_sharding, data_sharding))
     def fn(xb, yb, lxb, lyb):
-        return pairhmm.batch_posteriors(xb, yb, lxb, lyb, *args,
-                                        with_mea=with_mea)
+        return kernel(xb, yb, lxb, lyb, *args, with_mea=with_mea)
 
     return fn
 

@@ -66,10 +66,17 @@ def all_pairs_posteriors(codes: np.ndarray, lens: np.ndarray,
     if backend == "auto":
         backend = default_backend()
     args = pairhmm.score_args(pack)
+    import jax
+    n_dev = len(jax.devices())
     if device_batch_fn is not None:
         fn = device_batch_fn
+    elif n_dev > 1:
+        # shard the pair axis across the device mesh (pure data
+        # parallel; chunk padding below keeps B a mesh multiple)
+        from ..parallel.mesh import make_mesh, sharded_batch_posteriors
+        fn = sharded_batch_posteriors(make_mesh(), pack, with_mea=with_mea,
+                                      backend=backend)
     elif backend == "pallas":
-        from . import posteriors as _self  # noqa
         from ..ops import pairhmm_pallas
         assert codes.shape[1] % 128 == 0, "pallas path needs 128-padded L"
         fn = lambda xb, yb, lxb, lyb: pairhmm_pallas.batch_posteriors_pallas(
@@ -83,6 +90,8 @@ def all_pairs_posteriors(codes: np.ndarray, lens: np.ndarray,
     b = min(batch_size, n_pairs)
     if backend == "pallas":
         b = round_up(b, 8)       # tile_p granularity
+    if n_dev > 1:
+        b = round_up(b, n_dev)   # even shards across the mesh
     for lo in range(0, n_pairs, b):
         chunk = pairs[lo:lo + b]
         # pad the final chunk by repeating the first pair (same shapes ->
