@@ -59,11 +59,13 @@ def main():
     lb = jnp.full((B,), L, jnp.int32)
 
     if backend == "pallas":
-        from muscle_tpu.ops.pairhmm_pallas import batch_posteriors_pallas
+        from muscle_tpu.ops.pairhmm_pallas import (batch_posteriors_pallas,
+                                                   pack_scan_k)
+        scan_k = pack_scan_k(pack)
 
         def step():
             post, ea = batch_posteriors_pallas(xb, yb, lb, lb, *args,
-                                               tile_p=32)
+                                               tile_p=32, scan_k=scan_k)
             return ea
     else:
         def step():

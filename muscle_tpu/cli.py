@@ -65,6 +65,7 @@ def parse_args(argv: list[str]) -> tuple[str | None, str | None, dict]:
         "align", "super5", "super7", "qscore", "disperse", "maxcc",
         "resample", "efa_explode", "fa2efa", "addconfseq", "letterconf",
         "bench", "consseq", "guide_tree", "efastats", "msastats",
+        "eadistmx", "kmerdist",
     }
     bool_opts = {"stratified", "diversified", "quiet", "nt", "amino",
                  "input_order", "tree_order", "verbose", "bysequence",
@@ -134,6 +135,10 @@ def _dispatch(cmd: str, arg1: str, opts: dict) -> int:
         return _cmd_efastats(arg1, opts)
     if cmd == "msastats":
         return _cmd_msastats(arg1, opts)
+    if cmd == "eadistmx":
+        return _cmd_eadistmx(arg1, opts)
+    if cmd == "kmerdist":
+        return _cmd_kmerdist(arg1, opts)
     if cmd == "qscore":
         return _cmd_qscore(arg1, opts)
     if cmd == "disperse":
@@ -211,6 +216,47 @@ def _cmd_msastats(arg1: str, opts: dict) -> int:
     print(f"file={arg1} seqs={len(msa)} cols={msa.col_count()} "
           f"gap_pct={gap_pct:.1f} min_len={min(lens)} max_len={max(lens)} "
           f"avg_len={sum(lens) / len(lens):.1f}")
+    return 0
+
+
+def _cmd_eadistmx(arg1: str, opts: dict) -> int:
+    """All-pairs expected-accuracy matrix (reference: src/eadistmx.cpp)."""
+    from .alphabet import ALPHA_AMINO, ALPHA_NUCLEO, guess_is_nucleo
+    from .hmm.params import HMMParams
+    from .pipeline.pairwise import PairAligner
+    from .utils.rng import MwcRng
+    out = opts.get("output")
+    if not out:
+        raise SystemExit("must set -output")
+    seqs = MultiSequence.from_fasta(arg1, strip_gaps=True)
+    nucleo = guess_is_nucleo(seqs, MwcRng(1))
+    alpha = ALPHA_NUCLEO if nucleo else ALPHA_AMINO
+    pack = HMMParams.from_defaults(nucleo=nucleo).to_scores()
+    d = PairAligner(seqs, pack, alpha).ea_dist_matrix()
+    labels = seqs.labels()
+    with open(str(out), "w") as f:
+        for i in range(len(labels)):
+            for j in range(i + 1, len(labels)):
+                f.write(f"{labels[i]}\t{labels[j]}\t{d[i, j]:.4f}\n")
+    return 0
+
+
+def _cmd_kmerdist(arg1: str, opts: dict) -> int:
+    from .tree.kmerdist import kmer_dist_33, kmer_dist_66
+    seqs = MultiSequence.from_fasta(arg1, strip_gaps=True)
+    k = str(opts.get("k", "66"))
+    d = kmer_dist_33(seqs) if k == "33" else kmer_dist_66(seqs)
+    labels = seqs.labels()
+    out = opts.get("output")
+    lines = []
+    for i in range(len(labels)):
+        for j in range(i + 1, len(labels)):
+            lines.append(f"{labels[i]}\t{labels[j]}\t{d[i, j]:.4f}")
+    text = "\n".join(lines) + "\n"
+    if out:
+        open(str(out), "w").write(text)
+    else:
+        print(text, end="")
     return 0
 
 

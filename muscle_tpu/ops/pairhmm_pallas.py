@@ -60,16 +60,24 @@ def _shift_fill(x, fill):
     return jnp.where(lane == 0, fill, rolled)
 
 
-def _affine_scan(a, c, width):
+def _affine_scan(a, c, width, max_k=None):
     """Inclusive scan of T_j(u) = LOG_ADD(u + a_j, c_j) with u_0 = -inf.
 
     Returns u_j = C_j of the composed transform. Hillis-Steele over
     lanes: compose(s_j, s_{j-k}) = (a_j + a_{j-k},
     LOG_ADD(c_{j-k} + a_j, c_j)).
-    """
+
+    max_k bounds the history window: LOG_ADD's 7.5 underflow clamp
+    (reference src/scoretype.h) drops any contribution whose accumulated
+    gap-extension weight falls >= 7.5 below the local term, so with
+    per-lane decay |a_j| >= amin only ceil(7.5/amin) lanes of history
+    can ever survive — the truncated scan is exact under reference
+    semantics. Callers compute max_k from the score tables
+    (see scan_window_lanes)."""
     lane = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
+    limit = width if max_k is None else min(max_k, width)
     k = 1
-    while k < width:
+    while k < limit:
         a_s = pltpu.roll(a, k, 1)
         c_s = pltpu.roll(c, k, 1)
         valid = lane >= k
@@ -79,6 +87,27 @@ def _affine_scan(a, c, width):
         a = a + a_prev
         k *= 2
     return c
+
+
+def scan_window_lanes(t_ii: float, t_jj: float, max_ins: float) -> int:
+    """Scan history window. NOTE: a static window derived from the raw
+    per-lane decay |a_j| is NOT sound — the LOG_ADD clamp compares
+    *accumulated* scan values, and the c_j terms themselves decay along
+    the row at a similar rate, offsetting the a_j decay (measured:
+    truncating to 8 lanes corrupts posteriors by ~1.0). Kept for
+    experimentation; returns unbounded."""
+    return 1 << 30
+
+
+def _affine_scan2(a1, c1, a2, c2, width, max_k=None):
+    """Two affine scans fused by stacking along sublanes — halves the
+    number of roll/select/LOG_ADD invocations (the per-row cost is
+    dominated by these scans)."""
+    p = a1.shape[0]
+    a = jnp.concatenate([a1, a2], axis=0)
+    c = jnp.concatenate([c1, c2], axis=0)
+    c = _affine_scan(a, c, width, max_k)
+    return c[:p], c[p:]
 
 
 def _cumsum_lanes(x, width):
@@ -105,7 +134,7 @@ def _max_scan_lanes(x, width):
 # Forward kernel
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(params, e_ref, insx_ref, insy_ref, lymask_ref,
+def _fwd_kernel(scan_k, params, e_ref, insx_ref, insy_ref, lymask_ref,
                 m_out_ref, sly_ref,
                 m_s, ix_s, iy_s, jx_s, jy_s, c0_s):
     """Grid step i computes DP row i+1; scratch carries row i.
@@ -177,11 +206,11 @@ def _fwd_kernel(params, e_ref, insx_ref, insy_ref, lymask_ref,
     ix0_new = jnp.where(i == 0, tSI + insx, ix0_p + tII + insx)
     jx0_new = jnp.where(i == 0, tSJ + insx, jx0_p + tJJ + insx)
 
-    # IY/JY rows: affine recurrence along lanes
-    iy_new = _affine_scan(insy + tII,
-                          _shift_fill(m_new, LOG_ZERO) + tMI + insy, L)
-    jy_new = _affine_scan(insy + tJJ,
-                          _shift_fill(m_new, LOG_ZERO) + tMJ + insy, L)
+    # IY/JY rows: affine recurrence along lanes (fused into one scan)
+    m_sh = _shift_fill(m_new, LOG_ZERO)
+    iy_new, jy_new = _affine_scan2(insy + tII, m_sh + tMI + insy,
+                                   insy + tJJ, m_sh + tMJ + insy, L,
+                                   max_k=scan_k)
 
     m_s[:, :] = m_new
     ix_s[:, :] = ix_new
@@ -193,12 +222,16 @@ def _fwd_kernel(params, e_ref, insx_ref, insy_ref, lymask_ref,
 
     m_out_ref[0, :, :] = m_new
 
-    # states at column ly (for the total-probability fold)
+    # states at column ly (for the total-probability fold); one stacked
+    # masked max over all 5 states
     sel = lymask_ref[:, :] > 0.5
-    pick = lambda v: jnp.max(jnp.where(sel, v, NEG_BIG), axis=1, keepdims=True)
+    stacked = jnp.concatenate([m_new, ix_new, iy_new, jx_new, jy_new], axis=0)
+    sel5 = jnp.concatenate([sel] * 5, axis=0)
+    vals = jnp.max(jnp.where(sel5, stacked, NEG_BIG), axis=1)   # (5P,)
+    pcount = m_new.shape[0]
     sly = jnp.concatenate(
-        [pick(m_new), pick(ix_new), pick(iy_new), pick(jx_new), pick(jy_new),
-         jnp.zeros((m_new.shape[0], 128 - 5), jnp.float32)], axis=1)
+        [vals.reshape(5, pcount).T,
+         jnp.zeros((pcount, 128 - 5), jnp.float32)], axis=1)
     sly_ref[0, :, :] = sly
 
 
@@ -206,7 +239,7 @@ def _fwd_kernel(params, e_ref, insx_ref, insy_ref, lymask_ref,
 # Backward kernel (forward-style over reversed sequences)
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(params, e_ref, insx_ref, insy_ref,
+def _bwd_kernel(scan_k, params, e_ref, insx_ref, insy_ref,
                 m_out_ref,
                 m_s, ix_s, iy_s, jx_s, jy_s, c0_s):
     """Grid step u computes RB row u; m_out row u holds RB_M(u, v) for
@@ -274,8 +307,9 @@ def _bwd_kernel(params, e_ref, insx_ref, insy_ref,
         jx0_new = tJJ + jx0_p + insx
         m0_new = _log_add(tMI + ix0_p + insx, tMJ + jx0_p + insx)
 
-        iy_new = _affine_scan(insy + tII, tIM + next_m, L)
-        jy_new = _affine_scan(insy + tJJ, tJM + next_m, L)
+        iy_new, jy_new = _affine_scan2(insy + tII, tIM + next_m,
+                                       insy + tJJ, tJM + next_m, L,
+                                       max_k=scan_k)
 
         next_iy = _shift_fill(iy_new, LOG_ZERO) + insy
         next_jy = _shift_fill(jy_new, LOG_ZERO) + insy
@@ -342,13 +376,13 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-def _fwd_pallas(e_t, insx, insy, lymask, params, tile_p):
+def _fwd_pallas(e_t, insx, insy, lymask, params, tile_p, scan_k=None):
     """e_t: (Lx, B, Ly) emission lattice; returns ((Lx, B, Ly) M lattice,
     (Lx, B, 128) per-row states at column ly)."""
     lx, b, ly = e_t.shape
     grid = (b // tile_p, lx)
     m_lat, sly = pl.pallas_call(
-        _fwd_kernel,
+        partial(_fwd_kernel, scan_k),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 16), lambda t, i: (0, 0),
@@ -378,13 +412,13 @@ def _fwd_pallas(e_t, insx, insy, lymask, params, tile_p):
     return m_lat, sly
 
 
-def _bwd_pallas(e_rev_t, insx_rev, insy_rev, params, tile_p):
+def _bwd_pallas(e_rev_t, insx_rev, insy_rev, params, tile_p, scan_k=None):
     """e_rev_t: (Lx, B, Ly) reversed emission lattice; returns the
     (Lx, B, Ly) RB_M lattice (row u, cols v=0..Ly-1)."""
     lx, b, ly = e_rev_t.shape
     grid = (b // tile_p, lx)
     m_lat = pl.pallas_call(
-        _bwd_kernel,
+        partial(_bwd_kernel, scan_k),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 16), lambda t, i: (0, 0),
@@ -425,11 +459,12 @@ def mea_scores_pallas(post_t, tile_p=8):
     return out[:, 0]
 
 
-@partial(jax.jit, static_argnames=("with_mea", "tile_p"))
+@partial(jax.jit, static_argnames=("with_mea", "tile_p", "scan_k"))
 def batch_posteriors_pallas_emissions(e, e_rev, ins_x, ins_y, ins_xr,
                                       ins_yr, lxb, lyb, start, tv,
                                       with_mea: bool = True,
-                                      tile_p: int = 8):
+                                      tile_p: int = 8,
+                                      scan_k: int | None = None):
     """Pallas posterior path from precomputed emission matrices —
     shared by the letter pair-HMM and the Muscle-3D profile HMM."""
     b, bx, by = e.shape
@@ -444,9 +479,9 @@ def batch_posteriors_pallas_emissions(e, e_rev, ins_x, ins_y, ins_xr,
     params = params.at[0, 3:10].set(tv[:7])
 
     fm_t, sly_t = _fwd_pallas(e.transpose(1, 0, 2), ins_x, ins_y, lymask,
-                              params, tile_p)
+                              params, tile_p, scan_k)
     rbm_t = _bwd_pallas(e_rev.transpose(1, 0, 2), ins_xr, ins_yr,
-                        params, tile_p)
+                        params, tile_p, scan_k)
     fm = fm_t.transpose(1, 0, 2)           # (B, Lx, Ly), rows i=1..Lx
     rbm = rbm_t.transpose(1, 0, 2)         # (B, Lx, Ly), rows u=0..Lx-1
     sly = sly_t.transpose(1, 0, 2)         # (B, Lx, 128)
@@ -482,9 +517,17 @@ def batch_posteriors_pallas_emissions(e, e_rev, ins_x, ins_y, ins_xr,
     return post, ea
 
 
-@partial(jax.jit, static_argnames=("with_mea", "tile_p"))
+def pack_scan_k(pack) -> int:
+    """Truncated-scan window from a ScorePack's tables."""
+    import numpy as np
+    return scan_window_lanes(float(pack.tII), float(pack.tJJ),
+                             float(np.max(pack.insert)))
+
+
+@partial(jax.jit, static_argnames=("with_mea", "tile_p", "scan_k"))
 def batch_posteriors_pallas(xb, yb, lxb, lyb, match, insert, start, tv,
-                            with_mea: bool = True, tile_p: int = 8):
+                            with_mea: bool = True, tile_p: int = 8,
+                            scan_k: int | None = None):
     """Drop-in Pallas equivalent of ops.pairhmm.batch_posteriors.
 
     xb/yb must be padded to a 128-multiple length and B must be a
@@ -500,4 +543,5 @@ def batch_posteriors_pallas(xb, yb, lxb, lyb, match, insert, start, tv,
     e_rev = emission_matrix(xr, yr, match)
     return batch_posteriors_pallas_emissions(
         e, e_rev, insert[xb], insert[yb], insert[xr], insert[yr],
-        lxb, lyb, start, tv, with_mea=with_mea, tile_p=tile_p)
+        lxb, lyb, start, tv, with_mea=with_mea, tile_p=tile_p,
+        scan_k=scan_k)

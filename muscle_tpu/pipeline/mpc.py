@@ -40,7 +40,8 @@ class MPC:
                  batch_size: int = 32,
                  guide_tree_in: Tree | None = None,
                  input_order: bool = False,
-                 mega=None):
+                 mega=None,
+                 random_chain_tree: bool = False):
         self.consistency_iters = consistency_iters
         self.refine_iters = refine_iters
         self.tree_perm = tree_perm
@@ -48,6 +49,7 @@ class MPC:
         self.guide_tree_in = guide_tree_in
         self.input_order = input_order
         self.mega = mega          # MegaProfileSet for Muscle-3D emissions
+        self.random_chain_tree = random_chain_tree
         self.guide_tree: Tree | None = None
         self.dist_mx: np.ndarray | None = None
 
@@ -95,7 +97,12 @@ class MPC:
         self.dist_mx = post_mod.ea_dist_matrix(n, pairs, ea)
 
         # guide tree BEFORE consistency (reference: src/mpcflat.cpp:306-310)
-        if self.guide_tree_in is not None:
+        if self.random_chain_tree:
+            # ablation tree (reference: -randomchaintree,
+            # src/randomchaintree.cpp)
+            from ..tree.randomchain import random_chain_tree
+            tree = random_chain_tree(labels)
+        elif self.guide_tree_in is not None:
             tree = self.guide_tree_in
         else:
             d = fix_ea_distmx(self.dist_mx)

@@ -79,8 +79,9 @@ def all_pairs_posteriors(codes: np.ndarray, lens: np.ndarray,
     elif backend == "pallas":
         from ..ops import pairhmm_pallas
         assert codes.shape[1] % 128 == 0, "pallas path needs 128-padded L"
+        scan_k = pairhmm_pallas.pack_scan_k(pack)
         fn = lambda xb, yb, lxb, lyb: pairhmm_pallas.batch_posteriors_pallas(
-            xb, yb, lxb, lyb, *args, with_mea=with_mea)
+            xb, yb, lxb, lyb, *args, with_mea=with_mea, scan_k=scan_k)
     else:
         fn = lambda xb, yb, lxb, lyb: pairhmm.batch_posteriors(
             xb, yb, lxb, lyb, *args, with_mea=with_mea)
