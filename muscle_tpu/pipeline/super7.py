@@ -101,13 +101,13 @@ class Super7:
                 # reseek distance matrix (reference: src/super7.cpp:156-162)
                 tree = upgma5(labels, dist_mx, LINKAGE_AVG)
             else:
-                # all-pairs EA distances on device (replaces the
-                # reference's threaded SW-BLOSUM62 fallback,
-                # src/swdistmx.cpp — same role: cheap guide distances)
-                pack = hp.to_scores()
-                aligner = PairAligner(seqs, pack, alpha)
-                tree = upgma5(labels, fix_ea_distmx(aligner.ea_dist_matrix()),
-                              LINKAGE_BIASED)
+                # device-batched SW-BLOSUM62 all-pairs similarities,
+                # rescaled + UPGMA avg (reference: src/swdistmx.cpp:88
+                # CalcGuideTree_SW_BLOSUM62)
+                from ..ops.sw import sw_dist_matrix
+                from ..tree.upgma import scale_dist_mx
+                sim = sw_dist_matrix(seqs, alpha)
+                tree = upgma5(labels, scale_dist_mx(sim), LINKAGE_AVG)
         else:
             tree = guide_tree
 

@@ -56,6 +56,25 @@ def read_distmx_reseek(path: str) -> tuple[list[str], np.ndarray]:
     return labels, d
 
 
+def scale_dist_mx(d: np.ndarray, input_is_similarity: bool = True
+                  ) -> np.ndarray:
+    """Rescale to [0, 10] (reference: UPGMA5::ScaleDistMx,
+    src/upgma5.cpp:521): similarity s -> 10*(max-s)/(max-min)."""
+    d = np.asarray(d, dtype=np.float32).copy()
+    n = d.shape[0]
+    iu = np.triu_indices(n, 1)
+    lo, hi = float(d[iu].min()), float(d[iu].max())
+    scale = 10.0
+    if hi == lo:
+        out = np.zeros_like(d)
+    elif input_is_similarity:
+        out = scale * (hi - d) / (hi - lo)
+    else:
+        out = scale * (d - lo) / (hi - lo)
+    np.fill_diagonal(out, 0.0)
+    return out.astype(np.float32)
+
+
 def upgma5(labels: list[str], distmx: np.ndarray,
            linkage: str = LINKAGE_BIASED) -> Tree:
     n = len(labels)
