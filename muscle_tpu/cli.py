@@ -65,7 +65,7 @@ def parse_args(argv: list[str]) -> tuple[str | None, str | None, dict]:
         "align", "super5", "super7", "qscore", "disperse", "maxcc",
         "resample", "efa_explode", "fa2efa", "addconfseq", "letterconf",
         "bench", "consseq", "guide_tree", "efastats", "msastats",
-        "eadistmx", "kmerdist",
+        "eadistmx", "kmerdist", "muscle3",
     }
     bool_opts = {"stratified", "diversified", "quiet", "nt", "amino",
                  "input_order", "tree_order", "verbose", "bysequence",
@@ -139,6 +139,8 @@ def _dispatch(cmd: str, arg1: str, opts: dict) -> int:
         return _cmd_eadistmx(arg1, opts)
     if cmd == "kmerdist":
         return _cmd_kmerdist(arg1, opts)
+    if cmd == "muscle3":
+        return _cmd_muscle3(arg1, opts)
     if cmd == "qscore":
         return _cmd_qscore(arg1, opts)
     if cmd == "disperse":
@@ -216,6 +218,22 @@ def _cmd_msastats(arg1: str, opts: dict) -> int:
     print(f"file={arg1} seqs={len(msa)} cols={msa.col_count()} "
           f"gap_pct={gap_pct:.1f} min_len={min(lens)} max_len={max(lens)} "
           f"avg_len={sum(lens) / len(lens):.1f}")
+    return 0
+
+
+def _cmd_muscle3(arg1: str, opts: dict) -> int:
+    """Classic profile aligner (reference: -muscle3 src/muscle3.cpp)."""
+    from .pipeline.muscle3 import Muscle3
+    out = opts.get("output")
+    if not out:
+        raise SystemExit("must set -output")
+    seqs = MultiSequence.from_fasta(arg1)
+    m3 = Muscle3(
+        gap_open=float(opts.get("gapopen", -6.0)),
+        kmer_dist=str(opts.get("kmerdist", "66")),
+        linkage=str(opts.get("linkage", "min")),
+        tree_iters=int(opts.get("treeiters", 1)))
+    m3.run(seqs).write_fasta(str(out))
     return 0
 
 
