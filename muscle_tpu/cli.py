@@ -66,6 +66,8 @@ def parse_args(argv: list[str]) -> tuple[str | None, str | None, dict]:
         "resample", "efa_explode", "fa2efa", "addconfseq", "letterconf",
         "bench", "consseq", "guide_tree", "efastats", "msastats",
         "eadistmx", "kmerdist", "muscle3",
+        "strip_gappy_cols", "strip_gappy_rows", "relabel", "trimtoref",
+        "make_a2m", "squeeze_inserts", "core_blocks",
     }
     bool_opts = {"stratified", "diversified", "quiet", "nt", "amino",
                  "input_order", "tree_order", "verbose", "bysequence",
@@ -141,6 +143,9 @@ def _dispatch(cmd: str, arg1: str, opts: dict) -> int:
         return _cmd_kmerdist(arg1, opts)
     if cmd == "muscle3":
         return _cmd_muscle3(arg1, opts)
+    if cmd in ("strip_gappy_cols", "strip_gappy_rows", "relabel",
+               "trimtoref", "make_a2m", "squeeze_inserts", "core_blocks"):
+        return _cmd_msatool(cmd, arg1, opts)
     if cmd == "qscore":
         return _cmd_qscore(arg1, opts)
     if cmd == "disperse":
@@ -218,6 +223,51 @@ def _cmd_msastats(arg1: str, opts: dict) -> int:
     print(f"file={arg1} seqs={len(msa)} cols={msa.col_count()} "
           f"gap_pct={gap_pct:.1f} min_len={min(lens)} max_len={max(lens)} "
           f"avg_len={sum(lens) / len(lens):.1f}")
+    return 0
+
+
+def _cmd_msatool(cmd: str, arg1: str, opts: dict) -> int:
+    from . import msatools as mt
+    msa = MultiSequence.from_fasta(arg1)
+    gf = float(opts.get("max_gap_fract", 0.5))
+    if cmd == "strip_gappy_cols":
+        out = mt.strip_gappy_cols(msa, gf)
+    elif cmd == "strip_gappy_rows":
+        out = mt.strip_gappy_rows(msa, gf)
+    elif cmd == "relabel":
+        mapping = {}
+        with open(str(opts["labels2"])) as f:
+            for line in f:
+                flds = line.rstrip("\n").split("\t")
+                if len(flds) == 2:
+                    mapping[flds[0]] = flds[1]
+        out = mt.relabel(msa, mapping)
+    elif cmd == "trimtoref":
+        ref = MultiSequence.from_fasta(str(opts["ref"]))
+        out = mt.trim_to_ref(msa, ref)
+    elif cmd == "make_a2m":
+        out = mt.make_a2m(msa, gf)
+    elif cmd == "squeeze_inserts":
+        out = mt.squeeze_inserts(msa, gf)
+    elif cmd == "core_blocks":
+        blocks = mt.core_blocks(
+            msa, min_cols=int(opts.get("min_core_block_cols", 8)),
+            min_seqs=int(opts.get("min_core_block_seqs", 8)))
+        dest = opts.get("output")
+        lines = [f"core_blocks\t{len(blocks)}"] + [
+            f"{c0}\t{w}\t{r0}\t{nr}" for c0, w, r0, nr in blocks]
+        text = "\n".join(lines) + "\n"
+        if dest:
+            open(str(dest), "w").write(text)
+        else:
+            print(text, end="")
+        return 0
+    else:
+        raise SystemExit(cmd)
+    dest = opts.get("output")
+    if not dest:
+        raise SystemExit("must set -output")
+    out.write_fasta(str(dest))
     return 0
 
 
