@@ -517,11 +517,11 @@ def batch_posteriors_pallas_emissions(e, e_rev, ins_x, ins_y, ins_xr,
     return post, ea
 
 
-def pack_scan_k(pack) -> int:
-    """Truncated-scan window from a ScorePack's tables."""
-    import numpy as np
-    return scan_window_lanes(float(pack.tII), float(pack.tJJ),
-                             float(np.max(pack.insert)))
+def pack_scan_k(pack):
+    """Truncated-scan window from a ScorePack's tables. Currently always
+    None (full scan) — see scan_window_lanes for why static truncation
+    is unsound."""
+    return None
 
 
 @partial(jax.jit, static_argnames=("with_mea", "tile_p", "scan_k"))
