@@ -27,6 +27,7 @@ muscle-tpu — TPU-native multiple sequence alignment (MUSCLE v5 capabilities)
 Commands:
   -align FILE        Align FASTA (MPC algorithm) -> -output
   -super5 FILE       Align large FASTA (Super5 pipeline) -> -output
+  -super6 FILE       Align large FASTA (Super6, ML-distance clusters)
   -qscore FILE       Q/TC accuracy vs -ref reference alignment
   -disperse FILE     Ensemble dispersion of EFA
   -maxcc FILE        Pick max-confidence replicate from EFA -> -output
@@ -62,7 +63,8 @@ def parse_args(argv: list[str]) -> tuple[str | None, str | None, dict]:
     arg1 = None
     opts: dict[str, object] = {}
     flag_cmds = {
-        "align", "super5", "super7", "qscore", "disperse", "maxcc",
+        "align", "super5", "super6", "super7", "uclustpd", "protdists",
+        "qscore", "disperse", "maxcc",
         "resample", "efa_explode", "fa2efa", "addconfseq", "letterconf",
         "bench", "consseq", "guide_tree", "efastats", "msastats",
         "eadistmx", "kmerdist", "muscle3",
@@ -129,8 +131,12 @@ def main(argv: list[str] | None = None) -> int:
 
 def _dispatch(cmd: str, arg1: str, opts: dict) -> int:
 
-    if cmd in ("align", "super5", "super7"):
+    if cmd in ("align", "super5", "super6", "super7"):
         return _cmd_align(cmd, arg1, opts)
+    if cmd == "uclustpd":
+        return _cmd_uclustpd(arg1, opts)
+    if cmd == "protdists":
+        return _cmd_protdists(arg1, opts)
     if cmd == "consseq":
         return _cmd_consseq(arg1, opts)
     if cmd == "efastats":
@@ -320,6 +326,59 @@ def _cmd_kmerdist(arg1: str, opts: dict) -> int:
     for i in range(len(labels)):
         for j in range(i + 1, len(labels)):
             lines.append(f"{labels[i]}\t{labels[j]}\t{d[i, j]:.4f}")
+    text = "\n".join(lines) + "\n"
+    if out:
+        open(str(out), "w").write(text)
+    else:
+        print(text, end="")
+    return 0
+
+
+def _cmd_uclustpd(arg1: str, opts: dict) -> int:
+    """Greedy ML-distance clustering to TSV (reference: cmd_uclustpd
+    src/uclustpd.cpp:373-401; -tsvout centroid_index<TAB>label)."""
+    from .pipeline.uclustpd import ProtDistCalc, UClustPD
+    if "maxpd" not in opts:
+        raise SystemExit("must set -maxpd")
+    if opts.get("output"):
+        raise SystemExit("use -tsvout not -output")
+    max_pd = float(opts["maxpd"])
+    seqs = MultiSequence.from_fasta(arg1, strip_gaps=True)
+    calc = ProtDistCalc(seqs)
+    # the reference promotes <= thread-count new seeds per iteration
+    # (src/uclustpd.cpp:193), so -threads changes its clustering; honor
+    # the same knob for output parity
+    from .pipeline.uclustpd import DEFAULT_SEEDS_PER_ITER
+    uc = UClustPD(calc, seeds_per_iter=int(
+        opts.get("threads", DEFAULT_SEEDS_PER_ITER)))
+    clusters = uc.run(list(range(len(seqs))), max_pd)
+    out = opts.get("tsvout")
+    lines = [f"{ci}\t{seqs[si].label}"
+             for ci, members in enumerate(clusters) for si in members]
+    text = "\n".join(lines) + "\n"
+    if out:
+        open(str(out), "w").write(text)
+    else:
+        print(text, end="")
+    sizes = sorted((len(m) for m in clusters), reverse=True)
+    print(f"{len(seqs)} seqs, {len(clusters)} clusters, "
+          f"median {sizes[len(sizes) // 2]}, "
+          f"singletons {sum(1 for s in sizes if s == 1)}")
+    return 0
+
+
+def _cmd_protdists(arg1: str, opts: dict) -> int:
+    """All-pairs ML protein distances (reference: cmd_protdists
+    src/protdists.cpp:16-86; label<TAB>label<TAB>dist)."""
+    from .pipeline.uclustpd import ProtDistCalc
+    seqs = MultiSequence.from_fasta(arg1, strip_gaps=True)
+    calc = ProtDistCalc(seqs)
+    n = len(seqs)
+    pairs = [(i, j) for i in range(1, n) for j in range(i)]
+    d = calc.dists(pairs)
+    out = opts.get("output")
+    lines = [f"{seqs[i].label}\t{seqs[j].label}\t{d[k]:.4g}"
+             for k, (i, j) in enumerate(pairs)]
     text = "\n".join(lines) + "\n"
     if out:
         open(str(out), "w").write(text)
