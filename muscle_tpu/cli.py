@@ -68,6 +68,7 @@ def parse_args(argv: list[str]) -> tuple[str | None, str | None, dict]:
         "resample", "efa_explode", "fa2efa", "addconfseq", "letterconf",
         "bench", "consseq", "guide_tree", "efastats", "msastats",
         "eadistmx", "kmerdist", "muscle3",
+        "m3ensemble", "m3select", "m3refine",
         "strip_gappy_cols", "strip_gappy_rows", "relabel", "trimtoref",
         "make_a2m", "squeeze_inserts", "core_blocks",
     }
@@ -149,6 +150,8 @@ def _dispatch(cmd: str, arg1: str, opts: dict) -> int:
         return _cmd_kmerdist(arg1, opts)
     if cmd == "muscle3":
         return _cmd_muscle3(arg1, opts)
+    if cmd in ("m3ensemble", "m3select", "m3refine"):
+        return _cmd_m3(cmd, arg1, opts)
     if cmd in ("strip_gappy_cols", "strip_gappy_rows", "relabel",
                "trimtoref", "make_a2m", "squeeze_inserts", "core_blocks"):
         return _cmd_msatool(cmd, arg1, opts)
@@ -290,6 +293,31 @@ def _cmd_muscle3(arg1: str, opts: dict) -> int:
         linkage=str(opts.get("linkage", "min")),
         tree_iters=int(opts.get("treeiters", 1)))
     m3.run(seqs).write_fasta(str(out))
+    return 0
+
+
+def _cmd_m3(cmd: str, arg1: str, opts: dict) -> int:
+    """muscle3 perturbation ensembles (reference: src/cmd_m3ensemble.cpp,
+    src/m3select.cpp, src/m3refine.cpp)."""
+    from .pipeline.muscle3 import m3_ensemble, m3_refine, m3_select
+    out = opts.get("output")
+    if not out:
+        raise SystemExit("must set -output")
+    if cmd == "m3ensemble":
+        seqs = MultiSequence.from_fasta(arg1, strip_gaps=True)
+        m3_ensemble(seqs, str(out),
+                    replicates=int(opts.get("replicates", 16)))
+    elif cmd == "m3select":
+        seqs = MultiSequence.from_fasta(arg1, strip_gaps=True)
+        m3_select(seqs,
+                  replicates=int(opts.get("replicates", 64))
+                  ).write_fasta(str(out))
+    else:
+        msa = MultiSequence.from_fasta(arg1)
+        if not msa.is_aligned():
+            raise SystemExit("-m3refine input must be aligned")
+        m3_refine(msa, iters=int(opts.get("iters", 32))
+                  ).write_fasta(str(out))
     return 0
 
 

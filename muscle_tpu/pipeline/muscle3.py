@@ -29,6 +29,89 @@ from ..tree.upgma import upgma5
 DEFAULT_GAP_OPEN = -6.0   # reference: src/blosum.cpp:69 (blosum62, set 0)
 DEFAULT_CENTER = 0.8      # reference: src/blosum.cpp:69
 
+# (pctid, param set) -> (gap open, center)
+# reference: GetGapParams_Blosum src/blosum.cpp:50-75
+GAP_PARAMS_BLOSUM = {
+    (90, 0): (-7.3333335, 1.2),
+    (90, 1): (-8.1662216, 1.0788642),
+    (90, 2): (-6.7398319, 1.0459337),
+    (90, 3): (-7.0647068, 1.2546233),
+    (80, 0): (-6.6666665, 0.99999994),
+    (80, 1): (-7.2274466, 0.91091353),
+    (80, 2): (-7.6157303, 0.86217165),
+    (80, 3): (-7.1673636, 0.85966408),
+    (70, 0): (-6.2208495, 0.88161403),
+    (70, 1): (-7.3177958, 0.70952064),
+    (70, 2): (-7.1693735, 0.93325645),
+    (70, 3): (-6.7926803, 0.71609467),
+    (62, 0): (-6.0, 0.79999995),
+    (62, 1): (-5.6413326, 0.71837389),
+    (62, 2): (-6.6825562, 0.59377569),
+    (62, 3): (-5.574501, 0.66151822),
+}
+
+
+class M3Params:
+    """Muscle3 alignment parameters with ensemble perturbation.
+
+    reference: M3AlnParams (src/m3alnparams.{h,cpp}) — BLOSUM scores with
+    a center offset added, per-(pctid, set) gap params, and a
+    std::minstd_rand perturbation stream over gap params, substitution
+    matrix, and (later) the tree-iteration distance matrix. The
+    reference ships only the BLOSUM62 matrix (GetSubstMx_Letter_Blosum
+    dies for 90/80/70, src/blosum.cpp:33-48 — its -m3ensemble is broken
+    as shipped); we use B62 scores with each family's gap params.
+    """
+
+    SMALL_PRIME = 997   # reference: src/m3alnparams.cpp Perturb1
+
+    def __init__(self, pctid: int = 62, param_group: int = 0,
+                 gap_open: float | None = None, center: float | None = None,
+                 perturb_seed: int = 0,
+                 perturb_substmx_delta: float = 0.0,
+                 perturb_gap_delta: float = 0.0,
+                 perturb_distmx_delta: float = 0.0,
+                 linkage: str = "min", kmer_dist: str = "66",
+                 tree_iters: int = 1):
+        from ..utils.rng import MinStdRand
+        base_open, base_center = GAP_PARAMS_BLOSUM[(pctid, param_group)]
+        self.gap_open = float(gap_open if gap_open is not None else base_open)
+        self.center = float(center if center is not None else base_center)
+        self.subst = BLOSUM62.astype(np.float64) + self.center
+        self.linkage = linkage
+        self.kmer_dist = kmer_dist
+        self.tree_iters = tree_iters
+        self.perturb_seed = perturb_seed
+        self.perturb_distmx_delta = perturb_distmx_delta
+        self._rng = MinStdRand(perturb_seed) if perturb_seed else None
+        # reference order: PerturbGapParams then PerturbSubstMx
+        # (PerturbMyParams src/m3alnparams.cpp), center already added
+        if self._rng is not None and perturb_gap_delta != 0.0:
+            self.gap_open = self._perturb1(self.gap_open, perturb_gap_delta)
+            self.center = self._perturb1(self.center, perturb_gap_delta)
+        if self._rng is not None and perturb_substmx_delta != 0.0:
+            for i in range(20):
+                for j in range(20):
+                    self.subst[i, j] = self._perturb1(
+                        self.subst[i, j], perturb_substmx_delta)
+
+    def _perturb1(self, v: float, max_delta: float) -> float:
+        sign = -1.0 if self._rng.rand() % 2 == 0 else 1.0
+        f = (self._rng.rand() % self.SMALL_PRIME) / self.SMALL_PRIME
+        return v + sign * max_delta * f
+
+    def perturb_dist_mx(self, d: np.ndarray) -> None:
+        """In-place symmetric jitter of a distance matrix, continuing
+        the parameter stream (reference: PerturbDistMx)."""
+        if self._rng is None or self.perturb_distmx_delta == 0.0:
+            return
+        n = d.shape[0]
+        for i in range(n):
+            for j in range(i):
+                v = self._perturb1(float(d[i, j]),
+                                   self.perturb_distmx_delta)
+                d[i, j] = d[j, i] = v
+
 _AA_IDX = np.full(256, 20, dtype=np.int64)
 for _i, _c in enumerate("ACDEFGHIKLMNPQRSTVWY"):
     _AA_IDX[ord(_c)] = _i
@@ -172,16 +255,23 @@ class Muscle3:
     def __init__(self, gap_open: float = DEFAULT_GAP_OPEN,
                  center: float = DEFAULT_CENTER,
                  kmer_dist: str = "66", linkage: str = "min",
-                 tree_iters: int = 1):
-        self.subst = (BLOSUM62 + np.float32(center)).astype(np.float64)
-        self.gap_open = gap_open
-        self.kmer_dist = kmer_dist
-        self.linkage = linkage
-        self.tree_iters = tree_iters
+                 tree_iters: int = 1, params: M3Params | None = None):
+        if params is None:
+            params = M3Params(gap_open=gap_open, center=center,
+                              linkage=linkage, kmer_dist=kmer_dist,
+                              tree_iters=tree_iters)
+        self.params = params
+        self.subst = params.subst
+        self.gap_open = params.gap_open
+        self.kmer_dist = params.kmer_dist
+        self.linkage = params.linkage
+        self.tree_iters = params.tree_iters
+        self.final_weights: np.ndarray | None = None  # input order
 
     def _progressive(self, seqs: MultiSequence, tree) -> MultiSequence:
         labels = seqs.labels()
         weights = clustal_weights(tree, labels)
+        self.final_weights = np.asarray(weights, dtype=np.float64)
         l2i = {lb: i for i, lb in enumerate(labels)}
         idx1, idx2 = guide_tree_join_order(tree, l2i)
 
@@ -218,7 +308,8 @@ class Muscle3:
             # MSA, in input order (reference: src/muscle3.cpp:43-72)
             by_label = {s.label: s for s in msa}
             ordered = MultiSequence([by_label[lb] for lb in labels])
-            d = kimura_dist_mx(ordered)
+            d = kimura_dist_mx(ordered).astype(np.float64)
+            self.params.perturb_dist_mx(d)   # no-op unless ensemble
             tree = upgma5(labels, d, self.linkage)
             msa = self._progressive(seqs, tree)
         return msa
@@ -226,3 +317,140 @@ class Muscle3:
 
 def muscle3_align(seqs: MultiSequence, **kw) -> MultiSequence:
     return Muscle3(**kw).run(seqs)
+
+
+# ---------------------------------------------------------------------------
+# m3 ensembles (-m3ensemble / -m3select / -m3refine)
+# ---------------------------------------------------------------------------
+
+def profile_self_score(msa: MultiSequence, subst: np.ndarray,
+                       gap_open: float, weights: np.ndarray) -> float:
+    """Sum over columns of f.S.f (reference: Profile3::GetSelfScore
+    src/profile3.cpp:269-280, ScoreProfPos2 src/nwsmall3.cpp:35-56).
+    `weights` are per-row, normalized internally."""
+    w = np.asarray(weights, dtype=np.float64)
+    w = w / w.sum()
+    prof = Profile3(msa, w, subst, gap_open)
+    return float(np.einsum("ca,ab,cb->", prof.freqs, subst, prof.freqs))
+
+
+def _row_weights(m3: Muscle3, seqs: MultiSequence,
+                 msa: MultiSequence) -> np.ndarray:
+    """Final clustal weights reordered to msa row order."""
+    by_label = {s.label: i for i, s in enumerate(seqs)}
+    return np.array([m3.final_weights[by_label[s.label]] for s in msa])
+
+
+def m3_ensemble(seqs: MultiSequence, out_file, replicates: int = 16) -> None:
+    """Perturbed muscle3 replicate ensemble in EFA format
+    (reference: cmd_m3ensemble src/cmd_m3ensemble.cpp:10-74 — gap-param
+    family cycles 90/80/70/62, param set (i*7)%4, perturb seed i/4,
+    all three perturbation deltas 0.1)."""
+    delta = 0.1
+    close = False
+    if isinstance(out_file, str):
+        out_file = open(out_file, "w")
+        close = True
+    try:
+        for i in range(replicates):
+            seed = i // 4
+            group = 0 if replicates == 4 else (i * 7) % 4
+            pctid = (90, 80, 70, 62)[i % 4]
+            params = M3Params(pctid, group, perturb_seed=seed,
+                              perturb_substmx_delta=delta,
+                              perturb_gap_delta=delta,
+                              perturb_distmx_delta=delta)
+            msa = Muscle3(params=params).run(seqs)
+            out_file.write(f"<blosum{pctid}:{group}.perturb{seed}"
+                           f".delta{delta:.3g}\n")
+            out_file.write(msa.to_fasta_text())
+    finally:
+        if close:
+            out_file.close()
+
+
+def m3_select(seqs: MultiSequence, replicates: int = 64) -> MultiSequence:
+    """Best-of-N perturbed muscle3 runs by profile self-score under the
+    unperturbed master params (reference: cmd_m3select
+    src/m3select.cpp:16-85 — B62 set 0, distance-matrix-only
+    perturbation, delta 0.1, seed = replicate index)."""
+    master = M3Params(62, 0)
+    best_msa = None
+    best_score = 0.0
+    for i in range(replicates):
+        params = M3Params(62, 0, perturb_seed=i,
+                          perturb_distmx_delta=0.1)
+        m3 = Muscle3(params=params)
+        msa = m3.run(seqs)
+        score = profile_self_score(msa, master.subst, master.gap_open,
+                                   _row_weights(m3, seqs, msa))
+        if best_msa is None or score > best_score:
+            best_msa = msa
+            best_score = score
+    return best_msa
+
+
+def m3_refine(msa: MultiSequence, iters: int = 32,
+              params: M3Params | None = None) -> MultiSequence:
+    """Iterative 3-way split-and-realign refinement keeping the best
+    profile self-score. The reference's M3Refine (src/m3refine.cpp:50)
+    is unfinished dev code — it draws the same contiguous 3-way splits
+    (SplitIndexes3 :15-48, randu32 stream) and computes the profile
+    paths but discards them; this completes the evident intent by
+    rebuilding the MSA from the three realigned blocks and keeping
+    improvements."""
+    from ..utils.rng import MwcRng
+
+    if params is None:
+        params = M3Params(62, 0)
+    n = len(msa)
+    if n < 3:
+        return msa
+
+    # weights from a Kimura-distance tree (reference: cmd_m3refine
+    # src/m3refine.cpp:144-153)
+    labels = msa.labels()
+    d = kimura_dist_mx(msa)
+    tree = upgma5(labels, d, "biased")
+    weights = np.asarray(clustal_weights(tree, labels), dtype=np.float64)
+
+    rng = MwcRng(1)
+    best = msa
+    best_score = profile_self_score(best, params.subst, params.gap_open,
+                                    weights)
+    for _ in range(iters):
+        # contiguous 3-way split (reference: SplitIndexes3)
+        ix0 = rng.randu32() % (n - 1)
+        ix1 = rng.randu32() % (n - 1)
+        if ix1 == ix0:
+            ix1 = (ix1 + 1) % (n - 1)
+        if ix0 > ix1:
+            ix0, ix1 = ix1, ix0
+        groups = [list(range(0, ix0 + 1)),
+                  list(range(ix0 + 1, ix1 + 1)),
+                  list(range(ix1 + 1, n))]
+
+        subs = [best.project(g) for g in groups]
+        subw = [weights[g] / weights[g].sum() for g in groups]
+        p0 = Profile3(subs[0], subw[0], params.subst, params.gap_open)
+        p1 = Profile3(subs[1], subw[1], params.subst, params.gap_open)
+        _, path01 = _nw_profile(p0, p1)
+        m01 = MultiSequence(
+            [s.add_gaps_path(path01, "X") for s in subs[0]]
+            + [s.add_gaps_path(path01, "Y") for s in subs[1]])
+        w01 = np.concatenate([subw[0], subw[1]])
+        p01 = Profile3(m01, w01 / w01.sum(), params.subst, params.gap_open)
+        p2 = Profile3(subs[2], subw[2], params.subst, params.gap_open)
+        _, path = _nw_profile(p01, p2)
+        cand = MultiSequence(
+            [s.add_gaps_path(path, "X") for s in m01]
+            + [s.add_gaps_path(path, "Y") for s in subs[2]])
+        # restore original row order
+        by_label = {s.label: s for s in cand}
+        cand = MultiSequence([by_label[lb] for lb in labels])
+        score = profile_self_score(cand, params.subst, params.gap_open,
+                                   weights)
+        if score > best_score:
+            best = cand
+            best_score = score
+    return best

@@ -66,6 +66,26 @@ class MwcRng:
             items[i], items[j] = items[j], items[i]
 
 
+class MinStdRand:
+    """C++ std::minstd_rand (linear_congruential_engine<u32, 48271, 0,
+    2147483647>) — drives muscle3 ensemble parameter perturbation
+    (reference: M3AlnParams::m_MinStdRand src/m3alnparams.h:33)."""
+
+    _A = 48271
+    _M = 2147483647
+
+    def __init__(self, seed: int = 1):
+        self.seed(seed)
+
+    def seed(self, s: int) -> None:
+        s %= self._M
+        self._x = s if s else 1
+
+    def rand(self) -> int:
+        self._x = (self._x * self._A) % self._M
+        return self._x
+
+
 class GlibcRand:
     """glibc random(3) TYPE_3 additive-feedback generator.
 
