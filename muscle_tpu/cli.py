@@ -66,6 +66,8 @@ def parse_args(argv: list[str]) -> tuple[str | None, str | None, dict]:
         "align", "super5", "super6", "super7", "uclustpd", "protdists",
         "qscore", "disperse", "maxcc",
         "resample", "efa_explode", "fa2efa", "addconfseq", "letterconf",
+        "efa_bestconf", "efa_bestcols", "colscore_efa", "qscore_efa",
+        "trimtoref_efa", "eesort", "cmp_msa",
         "bench", "consseq", "guide_tree", "efastats", "msastats",
         "eadistmx", "kmerdist", "muscle3",
         "m3ensemble", "m3select", "m3refine",
@@ -171,6 +173,20 @@ def _dispatch(cmd: str, arg1: str, opts: dict) -> int:
         return _cmd_addconfseq(arg1, opts)
     if cmd == "letterconf":
         return _cmd_letterconf(arg1, opts)
+    if cmd == "efa_bestconf":
+        return _cmd_efa_bestconf(arg1, opts)
+    if cmd == "efa_bestcols":
+        return _cmd_efa_bestcols(arg1, opts)
+    if cmd == "colscore_efa":
+        return _cmd_colscore_efa(arg1, opts)
+    if cmd == "qscore_efa":
+        return _cmd_qscore_efa(arg1, opts)
+    if cmd == "trimtoref_efa":
+        return _cmd_trimtoref_efa(arg1, opts)
+    if cmd == "eesort":
+        return _cmd_eesort(arg1, opts)
+    if cmd == "cmp_msa":
+        return _cmd_cmp_msa(arg1, opts)
     raise SystemExit(f"unknown command -{cmd}")
 
 
@@ -504,6 +520,216 @@ def _cmd_letterconf(arg1: str, opts: dict) -> int:
               f"mean_conf={stats['mean_conf']:.3g}")
     elif not opts.get("html") and not opts.get("jalview"):
         raise SystemExit("must set -ref, -html, or -jalview")
+    return 0
+
+
+def _cmd_efa_bestconf(arg1: str, opts: dict) -> int:
+    """Per-replicate confidence table; writes the best-median replicate
+    (reference: cmd_efa_bestconf src/efabestconf.cpp:4-57)."""
+    from .pipeline.ensemble import Ensemble
+    ens = Ensemble.from_efa(arg1)
+    stats = ens.best_conf_stats()
+    print("  MSA     Cols     N1   N1f  TotConf  MedConf  Name")
+    for s in stats:
+        print(f"{s['index'] + 1:5d}  {s['cols']:7d}  {s['n1']:5d}  "
+              f"{s['n1f']:4.2f}  {s['total_conf']:7.3f}  "
+              f"{s['median_conf']:7.4f}  {s['name']}")
+    best_tot = max(stats, key=lambda s: s["total_conf"])
+    best_med = max(stats, key=lambda s: s["median_conf"])
+    print(f"Best MSA, total  {best_tot['index'] + 1} ({best_tot['name']})")
+    print(f"Best MSA, median {best_med['index'] + 1} ({best_med['name']})")
+    out = opts.get("output")
+    if out:
+        ens.msas[best_med["index"]].write_fasta(str(out))
+    return 0
+
+
+def _cmd_efa_bestcols(arg1: str, opts: dict) -> int:
+    """MSA of the highest-confidence unique columns
+    (reference: cmd_efa_bestcols src/efabestcols.cpp:5-64)."""
+    from .pipeline.ensemble import Ensemble
+    out = opts.get("output")
+    if not out:
+        raise SystemExit("must set -output")
+    ens = Ensemble.from_efa(arg1)
+    maxcols = opts.get("maxcols")
+    msa = ens.best_cols_msa(
+        min_conf=float(opts.get("minconf", 1.0)),
+        max_gap_fract=float(opts.get("max_gap_fract", 0.5)),
+        max_cols=int(maxcols) if maxcols else None)
+    msa.write_fasta(str(out))
+    return 0
+
+
+def _cmd_colscore_efa(arg1: str, opts: dict) -> int:
+    """Mean TC + confidence-bin calibration vs a reference alignment
+    (reference: cmd_colscore_efa src/colscoreefa.cpp:18-102)."""
+    from .pipeline.ensemble import Ensemble
+    ref_path = opts.get("ref")
+    if not ref_path:
+        raise SystemExit("must set -ref")
+    ens = Ensemble.from_efa(arg1)
+    ref = MultiSequence.from_fasta(str(ref_path))
+    res = ens.colscore(ref, float(opts.get("max_gap_fract", 0.5)))
+    lines = [f"meantc\t{res['mean_tc']:.4f}"]
+    for b in res["bins"]:
+        lines.append(f"bin\t{b['bin']}\t{b['count']}\t{b['correct']}"
+                     f"\t{b['p']:.4f}")
+    text = "\n".join(lines) + "\n"
+    out = opts.get("output")
+    if out:
+        open(str(out), "w").write(text)
+    print(text, end="")
+    return 0
+
+
+def _cmd_qscore_efa(arg1: str, opts: dict) -> int:
+    """Q/TC of every replicate vs a reference alignment
+    (reference: cmd_qscore_efa src/qscoreefa.cpp:5-33)."""
+    from .pipeline.ensemble import Ensemble
+    from .qscore import qscore
+    ref_path = opts.get("ref")
+    if not ref_path:
+        raise SystemExit("must set -ref")
+    ens = Ensemble.from_efa(arg1)
+    ref = MultiSequence.from_fasta(str(ref_path))
+    import os
+    ref_name = os.path.splitext(os.path.basename(str(ref_path)))[0]
+    for name, msa in zip(ens.names, ens.msas):
+        q, tc = qscore(msa, ref)
+        print(f"{ref_name} {name} Q={q:.4f} TC={tc:.4f}")
+    return 0
+
+
+def _cmd_trimtoref_efa(arg1: str, opts: dict) -> int:
+    """Trim every replicate to the reference's columns, EFA out
+    (reference: cmd_trimtoref_efa src/trimtorefefa.cpp:8-33)."""
+    from . import msatools as mt
+    from .pipeline.ensemble import Ensemble
+    ref_path = opts.get("ref")
+    out = opts.get("output")
+    if not ref_path or not out:
+        raise SystemExit("must set -ref and -output")
+    ens = Ensemble.from_efa(arg1)
+    ref = MultiSequence.from_fasta(str(ref_path))
+    with open(str(out), "w") as f:
+        for name, msa in zip(ens.names, ens.msas):
+            f.write(f"<{name}\n")
+            f.write(mt.trim_to_ref(msa, ref).to_fasta_text())
+    return 0
+
+
+def _cmd_eesort(arg1: str, opts: dict) -> int:
+    """Sort DB sequences by pair-HMM expected accuracy to the first
+    query sequence (reference: cmd_eesort src/eesort.cpp:5-80 — EAs are
+    computed vs query 0; batched on device here)."""
+    from .alphabet import ALPHA_AMINO, ALPHA_NUCLEO, guess_is_nucleo
+    from .hmm.params import HMMParams
+    from .pipeline.pairwise import PairAligner
+    from .utils.rng import MwcRng
+    import numpy as np
+    db_path = opts.get("db")
+    out = opts.get("output")
+    if not db_path or not out:
+        raise SystemExit("must set -db and -output")
+    query = MultiSequence.from_fasta(arg1, strip_gaps=True)
+    db = MultiSequence.from_fasta(str(db_path), strip_gaps=True)
+    nucleo = guess_is_nucleo(db, MwcRng(1))
+    alpha = ALPHA_NUCLEO if nucleo else ALPHA_AMINO
+    pack = HMMParams.from_defaults(nucleo=nucleo).to_scores()
+    combined = MultiSequence([query[0]] + list(db))
+    aligner = PairAligner(combined, pack, alpha)
+    eas = aligner.ea([(0, 1 + i) for i in range(len(db))])
+    order = np.argsort(-np.asarray(eas), kind="stable")
+    tsv = opts.get("tsvout")
+    ftsv = open(str(tsv), "w") if tsv else None
+    with open(str(out), "w") as f:
+        for k in order:
+            if ftsv:
+                ftsv.write(f"{eas[k]:.3g}\t{db[int(k)].label}\n")
+            MultiSequence([db[int(k)]])._write(f)
+    if ftsv:
+        ftsv.close()
+    return 0
+
+
+def _cmd_cmp_msa(arg1: str, opts: dict) -> int:
+    """HTML comparison of a test MSA vs a reference: letters colored by
+    their reference column, golden-ratio HSV palette
+    (reference: cmd_cmp_msa src/cmd_cmp_msa.cpp:130-246)."""
+    from .utils.rng import MwcRng
+    ref_path = opts.get("ref")
+    out = opts.get("output")
+    if not ref_path or not out:
+        raise SystemExit("must set -ref and -output")
+    test = MultiSequence.from_fasta(arg1)
+    ref = MultiSequence.from_fasta(str(ref_path))
+
+    def hsv_to_rgb(h, s, v):
+        hi = int(h * 6)
+        f = h * 6 - hi
+        p, q, t = v * (1 - s), v * (1 - f * s), v * (1 - (1 - f) * s)
+        r, g, b = [(v, t, p), (q, v, p), (p, v, t),
+                   (p, q, v), (t, p, v), (v, p, q)][hi % 6]
+        return int(r * 255), int(g * 255), int(b * 255)
+
+    rng = MwcRng(1)
+    hue = (rng.randu32() % 1000) / 1000.0
+    colors: list[str] = []
+
+    def color_for(ref_col: int) -> str:
+        nonlocal hue
+        while ref_col >= len(colors):
+            i = len(colors)
+            if i % 4 == 0:
+                hue = (hue + 0.618033988749895) % 1.0
+            r, g, b = hsv_to_rgb(hue, 0.5, 0.95)
+            factor = (4 - i % 4) / 4.0
+            colors.append("#%02x%02x%02x" % (int(r * factor),
+                                             int(g * factor),
+                                             int(b * factor)))
+        return colors[ref_col]
+
+    ref_rows = {s.label: s for s in ref}
+    html = ["<html>", "<body>", '<span style="font-size:16px"><pre>']
+    cols = test.col_count()
+    ROWLEN = 100
+    # per test row: test column -> ref column (or None)
+    maps = {}
+    for s in test:
+        r = ref_rows.get(s.label)
+        if r is None:
+            continue
+        p2c = r.pos_to_col()
+        m = [None] * cols
+        pos = 0
+        for c, ch in enumerate(s.text()):
+            if ch not in "-.":
+                if pos < len(p2c):
+                    m[c] = int(p2c[pos])
+                pos += 1
+        maps[s.label] = m
+    for lo in range(0, cols, ROWLEN):
+        hi = min(lo + ROWLEN, cols)
+        for s in test:
+            if s.label not in maps:
+                continue
+            row = ["   "]
+            m = maps[s.label]
+            for c in range(lo, hi):
+                ch = s.text()[c]
+                if m[c] is None:
+                    row.append(f'<span style="color:gray">{ch}</span>')
+                else:
+                    row.append(
+                        f'<span style="color:white;background-color:'
+                        f'{color_for(m[c])}">{ch}</span>')
+            row.append(" " * (lo + ROWLEN - hi))
+            row.append(f'  <span style="color:black">{s.label}   </span>')
+            html.append("".join(row))
+        html.append("\n")
+    html.extend(["</pre></span>", "</body>", "</html>"])
+    open(str(out), "w").write("\n".join(html) + "\n")
     return 0
 
 
