@@ -67,7 +67,7 @@ def parse_args(argv: list[str]) -> tuple[str | None, str | None, dict]:
         "qscore", "disperse", "maxcc",
         "resample", "efa_explode", "fa2efa", "addconfseq", "letterconf",
         "efa_bestconf", "efa_bestcols", "colscore_efa", "qscore_efa",
-        "trimtoref_efa", "eesort", "cmp_msa",
+        "trimtoref_efa", "eesort", "cmp_msa", "cmp_ref_msas", "upgma5",
         "bench", "consseq", "guide_tree", "efastats", "msastats",
         "eadistmx", "kmerdist", "muscle3",
         "m3ensemble", "m3select", "m3refine",
@@ -76,7 +76,8 @@ def parse_args(argv: list[str]) -> tuple[str | None, str | None, dict]:
     }
     bool_opts = {"stratified", "diversified", "quiet", "nt", "amino",
                  "input_order", "tree_order", "verbose", "bysequence",
-                 "version", "help"}
+                 "version", "help", "mega", "reseek", "scaledist",
+                 "eadist"}
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -187,6 +188,10 @@ def _dispatch(cmd: str, arg1: str, opts: dict) -> int:
         return _cmd_eesort(arg1, opts)
     if cmd == "cmp_msa":
         return _cmd_cmp_msa(arg1, opts)
+    if cmd == "cmp_ref_msas":
+        return _cmd_cmp_ref_msas(arg1, opts)
+    if cmd == "upgma5":
+        return _cmd_upgma5(arg1, opts)
     raise SystemExit(f"unknown command -{cmd}")
 
 
@@ -506,20 +511,21 @@ def _cmd_addconfseq(arg1: str, opts: dict) -> int:
 
 
 def _cmd_letterconf(arg1: str, opts: dict) -> int:
+    """Per-letter confidence vs a reference alignment (reference:
+    cmd_letterconf src/letterconf.cpp:47-92)."""
     from .pipeline.ensemble import Ensemble
     ens = Ensemble.from_efa(arg1)
-    if opts.get("html"):
-        ens.letter_conf_html(str(opts["html"]))
-    if opts.get("jalview"):
-        ens.letter_conf_jalview(str(opts["jalview"]))
     ref_path = opts.get("ref")
-    if ref_path:
-        ref = MultiSequence.from_fasta(str(ref_path))
-        stats = ens.letter_conf(ref, opts.get("output"))
-        print(f"letterconf Q={stats['Q']:.3g} TC={stats['TC']:.3g} "
-              f"mean_conf={stats['mean_conf']:.3g}")
-    elif not opts.get("html") and not opts.get("jalview"):
-        raise SystemExit("must set -ref, -html, or -jalview")
+    if not ref_path:
+        raise SystemExit("must set -ref")
+    ref = MultiSequence.from_fasta(str(ref_path))
+    stats = ens.letter_conf(ref, opts.get("output"))
+    if opts.get("html"):
+        ens.letter_conf_html(str(opts["html"]), ref)
+    if opts.get("jalview"):
+        ens.letter_conf_jalview(str(opts["jalview"]), ref)
+    print(f"letterconf Q={stats['Q']:.3g} TC={stats['TC']:.3g} "
+          f"mean_conf={stats['mean_conf']:.3g}")
     return 0
 
 
@@ -730,6 +736,98 @@ def _cmd_cmp_msa(arg1: str, opts: dict) -> int:
         html.append("\n")
     html.extend(["</pre></span>", "</body>", "</html>"])
     open(str(out), "w").write("\n".join(html) + "\n")
+    return 0
+
+
+def _cmd_upgma5(arg1: str, opts: dict) -> int:
+    """UPGMA tree from a distance-matrix file (reference: cmd_upgma5
+    src/upgma5.cpp:565-610; -reseek reads reseek's format + rescales,
+    plain format is label<TAB>label<TAB>dist with -scaledist/-eadist
+    transforms; default linkage avg)."""
+    import numpy as np
+    from .tree.upgma import (fix_ea_distmx, read_distmx_reseek,
+                             scale_dist_mx, upgma5)
+    out = opts.get("output")
+    if not out:
+        raise SystemExit("must set -output")
+    if opts.get("reseek"):
+        labels, d = read_distmx_reseek(arg1)
+        d = scale_dist_mx(d)
+    else:
+        labels = []
+        idx: dict[str, int] = {}
+        trips = []
+        for line in open(arg1):
+            f = line.rstrip("\n").split("\t")
+            if len(f) != 3:
+                continue
+            for lb in f[:2]:
+                if lb not in idx:
+                    idx[lb] = len(labels)
+                    labels.append(lb)
+            trips.append((f[0], f[1], float(f[2])))
+        d = np.zeros((len(labels), len(labels)), dtype=np.float64)
+        for a, b, v in trips:
+            d[idx[a], idx[b]] = d[idx[b], idx[a]] = v
+        if opts.get("scaledist"):
+            d = scale_dist_mx(d)
+        elif opts.get("eadist"):
+            d = fix_ea_distmx(d)
+    tree = upgma5(labels, d, str(opts.get("linkage", "avg")))
+    tree.to_file(str(out))
+    return 0
+
+
+def _cmd_cmp_ref_msas(arg1: str, opts: dict) -> int:
+    """Column-agreement diagnostic between two alignments of the same
+    sequences: per-matched-column Q and the summary line (compact
+    equivalent of cmd_cmp_ref_msas src/cmp_ref_msas.cpp:22-171, which
+    is a log-only dev report)."""
+    import numpy as np
+    ref_path = opts.get("ref")
+    if not ref_path:
+        raise SystemExit("must set -ref")
+    test = MultiSequence.from_fasta(arg1)
+    ref = MultiSequence.from_fasta(str(ref_path))
+    common = [s.label for s in test if s.label in
+              {r.label for r in ref}]
+    if len(common) < 2:
+        raise SystemExit("fewer than 2 shared labels")
+    t_rows = {s.label: s for s in test}
+    r_rows = {s.label: s for s in ref}
+
+    def col_keys(rows):
+        mat = np.stack([rows[lb].bytes_view() for lb in common])
+        nongap = (mat != ord("-")) & (mat != ord("."))
+        pos = np.cumsum(nongap, axis=1) * nongap
+        return [tuple(pos[:, c]) for c in range(mat.shape[1])], nongap
+
+    t_keys, t_ng = col_keys(t_rows)
+    r_keys, r_ng = col_keys(r_rows)
+    # per ref col: the test col holding the plurality of its letters
+    # (letter = (seq, position)); col Q = matching letters / letters
+    letter_to_tcol = {}
+    for c, key in enumerate(t_keys):
+        for i, p in enumerate(key):
+            if p:
+                letter_to_tcol[(i, p)] = c
+    qs = []
+    import sys as _sys
+    name = str(arg1)
+    for c, key in enumerate(r_keys):
+        letters = [(i, p) for i, p in enumerate(key) if p]
+        if len(letters) < 2:
+            continue
+        votes: dict[int, int] = {}
+        for lt in letters:
+            tc = letter_to_tcol.get(lt)
+            if tc is not None:
+                votes[tc] = votes.get(tc, 0) + 1
+        best = max(votes.values()) if votes else 0
+        qs.append(best / len(letters))
+    q = float(np.mean(qs)) if qs else 0.0
+    print(f"@CMP_REF_MSAs test={arg1} ref={ref_path} name={name} "
+          f"cols={len(qs)} Q={q:.4f}")
     return 0
 
 

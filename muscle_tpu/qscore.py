@@ -97,3 +97,61 @@ def qscore(test: MultiSequence, ref: MultiSequence,
     q = correct_pairs / ref_pairs if ref_pairs else 0.0
     tc = correct_cols / ref_aligned_cols if ref_aligned_cols else 0.0
     return q, tc
+
+
+def ref_letter_counts(test: MultiSequence, ref: MultiSequence):
+    """Per-reference-letter correctness indicator: 1 where the letter's
+    test column is the strict-majority test column of its reference
+    column (reference: QScorer::UpdateRefLetterCounts
+    src/qscorer.cpp:386-439 — BestTestCol requires count >
+    TestLetterCount/2, src/qscorer.cpp:290-291). Sum these over an
+    ensemble's replicates for per-letter confidence (-letterconf)."""
+    import numpy as np
+
+    ref_rows = [s.text() for s in ref]
+    test_rows = [s.text() for s in test]
+    ref_cols = len(ref_rows[0])
+    n_ref = len(ref_rows)
+
+    name_to_ref = {s.label: i for i, s in enumerate(ref)}
+    ref_to_test = [None] * n_ref
+    for ti, s in enumerate(test):
+        i = name_to_ref.get(s.label)
+        if i is not None:
+            ref_to_test[i] = ti
+
+    def isgap(c):
+        return c in "-."
+
+    out = np.zeros((n_ref, ref_cols), dtype=np.int64)
+    cursor = [0] * len(test_rows)
+    for rc in range(ref_cols):
+        letters: list[tuple[int, int]] = []   # (ref seq, test col)
+        for ri in range(n_ref):
+            ti = ref_to_test[ri]
+            if ti is None:
+                continue
+            c_ref = ref_rows[ri][rc]
+            if isgap(c_ref):
+                continue
+            col = cursor[ti]
+            trow = test_rows[ti]
+            while isgap(trow[col]):
+                col += 1
+            cursor[ti] = col + 1
+            # cmd_letterconf loads the ref without PreserveCase (all
+            # upper), so case does not filter here
+            if c_ref.isalpha():
+                letters.append((ri, col))
+        if not letters:
+            continue
+        counts: dict[int, int] = {}
+        for _, col in letters:
+            counts[col] = counts.get(col, 0) + 1
+        best_col, best_n = max(counts.items(), key=lambda kv: kv[1])
+        if best_n <= len(letters) // 2:
+            continue   # no strict majority -> no letter counts
+        for ri, col in letters:
+            if col == best_col:
+                out[ri, rc] = 1
+    return out
