@@ -65,7 +65,7 @@ def main():
 
         def step():
             post, ea = batch_posteriors_pallas(xb, yb, lb, lb, *args,
-                                               tile_p=32, scan_k=scan_k)
+                                               scan_k=scan_k)
             return ea
     else:
         def step():

@@ -41,12 +41,31 @@ NEG_BIG = -1e30  # sentinel more negative than any reachable score sum
 P_TSM, P_TSI, P_TSJ, P_TMM, P_TMI, P_TMJ, P_TII, P_TIM, P_TJJ, P_TJM = range(10)
 
 
+def _logexp1_sel(x):
+    """logexp1 via coefficient selection: pick the segment's cubic
+    coefficients first, then evaluate ONE Horner cubic — bit-identical
+    to evaluating the selected cubic directly (same coefficients, same
+    cutoffs; reference src/scoretype.h:100-109) but ~2.5x fewer VPU
+    flops than evaluating all four cubics."""
+    from .logspace import _C0, _C1, _C2, _C3
+    s1 = x <= 1.0
+    s2 = x <= 2.5
+    s3 = x <= 4.5
+
+    def pick(i):
+        return jnp.where(s2, jnp.where(s1, _C0[i], _C1[i]),
+                         jnp.where(s3, _C2[i], _C3[i]))
+    c0, c1, c2, c3 = pick(0), pick(1), pick(2), pick(3)
+    return ((c0 * x + c1) * x + c2) * x + c3
+
+
 def _log_add(x, y):
     hi = jnp.maximum(x, y)
     lo = jnp.minimum(x, y)
     d = hi - lo
     small = (lo <= LOG_ZERO) | (d >= LOG_UNDERFLOW)
-    return jnp.where(small, hi, lo + logexp1(jnp.clip(d, 0.0, LOG_UNDERFLOW)))
+    return jnp.where(small, hi,
+                     lo + _logexp1_sel(jnp.clip(d, 0.0, LOG_UNDERFLOW)))
 
 
 def _log_add5(x1, x2, x3, x4, x5):
@@ -134,16 +153,21 @@ def _max_scan_lanes(x, width):
 # Forward kernel
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(scan_k, params, e_ref, insx_ref, insy_ref, lymask_ref,
+def _fwd_kernel(scan_k, n_rows, params, e_ref, insx_ref, insy_ref,
+                lymask_ref, lxf_ref,
                 m_out_ref, sly_ref,
-                m_s, ix_s, iy_s, jx_s, jy_s, c0_s):
+                m_s, ix_s, iy_s, jx_s, jy_s, c0_s,
+                am_s, aix_s, aiy_s, ajx_s, ajy_s):
     """Grid step i computes DP row i+1; scratch carries row i.
 
     Refs (row-major layouts put the large axes in the tiled minor
     positions): e (1,P,L) emission row block of the (Lx,B,Ly) lattice;
-    insx (P,Lx) full rows; insy/lymask (P,L); m_out (1,P,L) row of the
-    (Lx,B,Ly) M lattice; sly (1,P,128) 5 states at column ly.
-    Scratch: five (P,L) state rows + c0 (P,128) col-0 IX/JX.
+    insx (1,P,1) this row's x insert scores (streamed from (Lx,B,1));
+    insy/lymask (P,L); lxf (P,128) per-pair lx broadcast; m_out (1,P,L)
+    row of the (Lx,B,Ly) M lattice; sly (P,128) 5 final states at
+    (lx, ly), written on the last grid step.
+    Scratch: five (P,L) state rows, c0 (P,128) col-0 IX/JX, and five
+    (P,L) accumulators capturing each pair's final (row lx) state row.
     """
     i = pl.program_id(1)
     L = insy_ref.shape[1]
@@ -182,20 +206,19 @@ def _fwd_kernel(scan_k, params, e_ref, insx_ref, insy_ref, lymask_ref,
     jx0_p = c0_s[:, 1:2]
 
     e_row = e_ref[0, :, :]
-    # dynamic lane extraction via mask+max (unaligned pl.ds on the lane
-    # axis is not lowerable)
-    xlane = jax.lax.broadcasted_iota(jnp.int32, insx_ref.shape, 1)
-    insx = jnp.max(jnp.where(xlane == i, insx_ref[:, :], NEG_BIG),
-                   axis=1, keepdims=True)   # (P, 1)
+    insx = insx_ref[0, :, :]   # (P, 1)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, e_row.shape, 1)
 
-    # M row (predecessors at (i-1, j-1) -> shift right)
-    m_new = _log_add5(_shift_fill(m_p, LOG_ZERO) + tMM,
-                      _shift_fill(ix_p, ix0_p) + tIM,
-                      _shift_fill(jx_p, jx0_p) + tJM,
-                      _shift_fill(iy_p, LOG_ZERO) + tIM,
-                      _shift_fill(jy_p, LOG_ZERO) + tJM) + e_row
+    # M row: all five predecessor terms shift by the same one lane, so
+    # fold first and shift the combined row once; the shifted-in lane-0
+    # value is the fold of the per-term fills (LOG_ZERO, ix0, jx0,
+    # LOG_ZERO, LOG_ZERO), which the LOG_ZERO clamp reduces exactly to
+    # LOG_ADD(ix0+tIM, jx0+tJM) — bit-identical to per-term shifting.
+    comb = _log_add5(m_p + tMM, ix_p + tIM, jx_p + tJM,
+                     iy_p + tIM, jy_p + tJM)
+    fill = _log_add(ix0_p + tIM, jx0_p + tJM)
+    m_new = _shift_fill(comb, fill) + e_row
     m_new = jnp.where((i == 0) & (lane == 0), tSM + e_row, m_new)
 
     # IX/JX rows (predecessors at (i-1, j))
@@ -222,17 +245,33 @@ def _fwd_kernel(scan_k, params, e_ref, insx_ref, insy_ref, lymask_ref,
 
     m_out_ref[0, :, :] = m_new
 
-    # states at column ly (for the total-probability fold); one stacked
-    # masked max over all 5 states
-    sel = lymask_ref[:, :] > 0.5
-    stacked = jnp.concatenate([m_new, ix_new, iy_new, jx_new, jy_new], axis=0)
-    sel5 = jnp.concatenate([sel] * 5, axis=0)
-    vals = jnp.max(jnp.where(sel5, stacked, NEG_BIG), axis=1)   # (5P,)
-    pcount = m_new.shape[0]
-    sly = jnp.concatenate(
-        [vals.reshape(5, pcount).T,
-         jnp.zeros((pcount, 128 - 5), jnp.float32)], axis=1)
-    sly_ref[0, :, :] = sly
+    # capture each pair's final state row (i == lx-1) into accumulators;
+    # the column-ly extraction runs once, on the last grid step
+    is_last_row = lxf_ref[:, 0:1] == jnp.float32(1.0) * (i + 1)
+
+    @pl.when(i == 0)
+    def _():
+        for acc in (am_s, aix_s, aiy_s, ajx_s, ajy_s):
+            acc[:, :] = jnp.full(insy.shape, LOG_ZERO, jnp.float32)
+
+    am_s[:, :] = jnp.where(is_last_row, m_new, am_s[:, :])
+    aix_s[:, :] = jnp.where(is_last_row, ix_new, aix_s[:, :])
+    aiy_s[:, :] = jnp.where(is_last_row, iy_new, aiy_s[:, :])
+    ajx_s[:, :] = jnp.where(is_last_row, jx_new, ajx_s[:, :])
+    ajy_s[:, :] = jnp.where(is_last_row, jy_new, ajy_s[:, :])
+
+    @pl.when(i == n_rows - 1)
+    def _():
+        sel = lymask_ref[:, :] > 0.5
+        stacked = jnp.concatenate(
+            [am_s[:, :], aix_s[:, :], aiy_s[:, :],
+             ajx_s[:, :], ajy_s[:, :]], axis=0)
+        sel5 = jnp.concatenate([sel] * 5, axis=0)
+        vals = jnp.max(jnp.where(sel5, stacked, NEG_BIG), axis=1)  # (5P,)
+        pcount = insy.shape[0]
+        sly_ref[:, :] = jnp.concatenate(
+            [vals.reshape(5, pcount).T,
+             jnp.zeros((pcount, 128 - 5), jnp.float32)], axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -293,9 +332,7 @@ def _bwd_kernel(scan_k, params, e_ref, insx_ref, insy_ref,
         m0_p = c0_s[:, 2:3]
 
         e_row = e_ref[0, :, :]
-        xlane = jax.lax.broadcasted_iota(jnp.int32, insx_ref.shape, 1)
-        insx = jnp.max(jnp.where(xlane == u - 1, insx_ref[:, :], NEG_BIG),
-                       axis=1, keepdims=True)
+        insx = insx_ref[0, :, :]   # (P, 1), row u-1 via the BlockSpec
 
         next_m = _shift_fill(m_p, m0_p) + e_row   # (u-1, v-1)
         next_ix = ix_p + insx                      # (u-1, v)
@@ -376,45 +413,52 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-def _fwd_pallas(e_t, insx, insy, lymask, params, tile_p, scan_k=None):
-    """e_t: (Lx, B, Ly) emission lattice; returns ((Lx, B, Ly) M lattice,
-    (Lx, B, 128) per-row states at column ly)."""
+def _fwd_pallas(e_t, insx_t, insy, lymask, lxf, params, tile_p,
+                scan_k=None):
+    """e_t: (Lx, B, Ly) emission lattice; insx_t: (Lx, B, 1) per-row x
+    insert scores; lxf: (B, 128) float lx broadcast. Returns
+    ((Lx, B, Ly) M lattice, (B, 128) final states at (lx, ly))."""
     lx, b, ly = e_t.shape
     grid = (b // tile_p, lx)
     m_lat, sly = pl.pallas_call(
-        partial(_fwd_kernel, scan_k),
+        partial(_fwd_kernel, scan_k, lx),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 16), lambda t, i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, tile_p, ly), lambda t, i: (i, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_p, lx), lambda t, i: (t, 0),
+            pl.BlockSpec((1, tile_p, 1), lambda t, i: (i, t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_p, ly), lambda t, i: (t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_p, ly), lambda t, i: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_p, 128), lambda t, i: (t, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, tile_p, ly), lambda t, i: (i, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_p, 128), lambda t, i: (i, t, 0),
+            pl.BlockSpec((tile_p, 128), lambda t, i: (t, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((lx, b, ly), jnp.float32),
-            jax.ShapeDtypeStruct((lx, b, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b, 128), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((tile_p, ly), jnp.float32)] * 5
-        + [pltpu.VMEM((tile_p, 128), jnp.float32)],
-    )(params, e_t, insx, insy, lymask)
+        + [pltpu.VMEM((tile_p, 128), jnp.float32)]
+        + [pltpu.VMEM((tile_p, ly), jnp.float32)] * 5,
+    )(params, e_t, insx_t, insy, lymask, lxf)
     return m_lat, sly
 
 
-def _bwd_pallas(e_rev_t, insx_rev, insy_rev, params, tile_p, scan_k=None):
-    """e_rev_t: (Lx, B, Ly) reversed emission lattice; returns the
-    (Lx, B, Ly) RB_M lattice (row u, cols v=0..Ly-1)."""
+def _bwd_pallas(e_rev_t, insx_rev_t, insy_rev, params, tile_p,
+                scan_k=None):
+    """e_rev_t: (Lx, B, Ly) reversed emission lattice; insx_rev_t:
+    (Lx, B, 1) reversed x insert scores. Returns the (Lx, B, Ly) RB_M
+    lattice (row u, cols v=0..Ly-1)."""
     lx, b, ly = e_rev_t.shape
     grid = (b // tile_p, lx)
     m_lat = pl.pallas_call(
@@ -428,7 +472,8 @@ def _bwd_pallas(e_rev_t, insx_rev, insy_rev, params, tile_p, scan_k=None):
             pl.BlockSpec((1, tile_p, ly),
                          lambda t, i: (jnp.maximum(i - 1, 0), t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_p, lx), lambda t, i: (t, 0),
+            pl.BlockSpec((1, tile_p, 1),
+                         lambda t, i: (jnp.maximum(i - 1, 0), t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_p, ly), lambda t, i: (t, 0),
                          memory_space=pltpu.VMEM),
@@ -438,7 +483,7 @@ def _bwd_pallas(e_rev_t, insx_rev, insy_rev, params, tile_p, scan_k=None):
         out_shape=jax.ShapeDtypeStruct((lx, b, ly), jnp.float32),
         scratch_shapes=[pltpu.VMEM((tile_p, ly), jnp.float32)] * 5
         + [pltpu.VMEM((tile_p, 128), jnp.float32)],
-    )(params, e_rev_t, insx_rev, insy_rev)
+    )(params, e_rev_t, insx_rev_t, insy_rev)
     return m_lat
 
 
@@ -459,18 +504,30 @@ def mea_scores_pallas(post_t, tile_p=8):
     return out[:, 0]
 
 
+def _pick_tile_p(b: int) -> int:
+    """Largest tile (<= 64) dividing the batch; 64 measured best on
+    TPU (diminishing past it), 8 is the floor posteriors pads to."""
+    for t in (64, 32, 16, 8):
+        if b % t == 0:
+            return t
+    return 1
+
+
 @partial(jax.jit, static_argnames=("with_mea", "tile_p", "scan_k"))
 def batch_posteriors_pallas_emissions(e, e_rev, ins_x, ins_y, ins_xr,
                                       ins_yr, lxb, lyb, start, tv,
                                       with_mea: bool = True,
-                                      tile_p: int = 8,
+                                      tile_p: int | None = None,
                                       scan_k: int | None = None):
     """Pallas posterior path from precomputed emission matrices —
     shared by the letter pair-HMM and the Muscle-3D profile HMM."""
     b, bx, by = e.shape
+    if tile_p is None:
+        tile_p = _pick_tile_p(b)
     ii = jnp.arange(bx)
     jj = jnp.arange(by)
     lymask = (jj[None, :] == (lyb[:, None] - 1)).astype(jnp.float32)
+    lxf = jnp.broadcast_to(lxb.astype(jnp.float32)[:, None], (b, 128))
 
     params = jnp.zeros((1, 16), jnp.float32)
     params = params.at[0, P_TSM].set(start[0])
@@ -478,20 +535,19 @@ def batch_posteriors_pallas_emissions(e, e_rev, ins_x, ins_y, ins_xr,
     params = params.at[0, P_TSJ].set(start[3])
     params = params.at[0, 3:10].set(tv[:7])
 
-    fm_t, sly_t = _fwd_pallas(e.transpose(1, 0, 2), ins_x, ins_y, lymask,
-                              params, tile_p, scan_k)
-    rbm_t = _bwd_pallas(e_rev.transpose(1, 0, 2), ins_xr, ins_yr,
+    fm_t, f_end5 = _fwd_pallas(e.transpose(1, 0, 2),
+                               ins_x.T[:, :, None], ins_y, lymask, lxf,
+                               params, tile_p, scan_k)
+    rbm_t = _bwd_pallas(e_rev.transpose(1, 0, 2),
+                        ins_xr.T[:, :, None], ins_yr,
                         params, tile_p, scan_k)
     fm = fm_t.transpose(1, 0, 2)           # (B, Lx, Ly), rows i=1..Lx
     rbm = rbm_t.transpose(1, 0, 2)         # (B, Lx, Ly), rows u=0..Lx-1
-    sly = sly_t.transpose(1, 0, 2)         # (B, Lx, 128)
 
     # total prob: F[s](lx, ly) + start scores (= B[s](lx, ly))
     bstart = jnp.stack([start[0], start[1], start[1], start[3], start[3]])
     # note kernel sly layout: [M, IX, IY, JX, JY]
-    idx = jnp.broadcast_to((lxb - 1).astype(jnp.int32)[:, None, None],
-                           (b, 1, 5))
-    f_end = jnp.take_along_axis(sly[..., :5], idx, axis=1)[:, 0, :]  # (B, 5)
+    f_end = f_end5[:, :5]                  # (B, 5)
     tot = jnp.full((b,), LOG_ZERO, jnp.float32)
     for s in range(5):
         tot = _log_add(tot, f_end[:, s] + bstart[s])
@@ -526,7 +582,8 @@ def pack_scan_k(pack):
 
 @partial(jax.jit, static_argnames=("with_mea", "tile_p", "scan_k"))
 def batch_posteriors_pallas(xb, yb, lxb, lyb, match, insert, start, tv,
-                            with_mea: bool = True, tile_p: int = 8,
+                            with_mea: bool = True,
+                            tile_p: int | None = None,
                             scan_k: int | None = None):
     """Drop-in Pallas equivalent of ops.pairhmm.batch_posteriors.
 
