@@ -153,15 +153,28 @@ def _max_scan_lanes(x, width):
 # Forward kernel
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(scan_k, n_rows, params, e_ref, insx_ref, insy_ref,
-                lymask_ref, lxf_ref,
-                m_out_ref, sly_ref,
-                m_s, ix_s, iy_s, jx_s, jy_s, c0_s,
-                am_s, aix_s, aiy_s, ajx_s, ajy_s):
+def _emission_row(xm_ref, oy_ref, kk):
+    """Per-row emission from streamed match-score rows + persistent
+    one-hot y: e_row[p, j] = sum_k xm[p, k] * oy[p, k, j]. Exactly one
+    k contributes per (p, j) (one-hot), and adding exact zeros is
+    exact, so this equals the fp32 table lookup bit-for-bit — same
+    guarantee as the one-hot MXU matmul it replaces, without the
+    K=21-padded-to-128 MXU waste or the (B,Lx,Ly) HBM lattice."""
+    e = xm_ref[0, :, 0:1] * oy_ref[:, 0, :]
+    for k in range(1, kk):
+        e = e + xm_ref[0, :, k:k + 1] * oy_ref[:, k, :]
+    return e
+
+
+def _fwd_kernel(scan_k, n_rows, kk, params, *refs):
     """Grid step i computes DP row i+1; scratch carries row i.
 
     Refs (row-major layouts put the large axes in the tiled minor
-    positions): e (1,P,L) emission row block of the (Lx,B,Ly) lattice;
+    positions): with kk=None, e (1,P,L) emission row block of the
+    (Lx,B,Ly) lattice; with kk=K (fused letter path), instead
+    xm (1,P,128) streamed match-score rows + oy (P,KP,L) persistent
+    one-hot y, and the emission row is built in-VMEM (no (B,Lx,Ly)
+    HBM lattice at all).
     insx (1,P,1) this row's x insert scores (streamed from (Lx,B,1));
     insy/lymask (P,L); lxf (P,128) per-pair lx broadcast; m_out (1,P,L)
     row of the (Lx,B,Ly) M lattice; sly (P,128) 5 final states at
@@ -169,6 +182,18 @@ def _fwd_kernel(scan_k, n_rows, params, e_ref, insx_ref, insy_ref,
     Scratch: five (P,L) state rows, c0 (P,128) col-0 IX/JX, and five
     (P,L) accumulators capturing each pair's final (row lx) state row.
     """
+    if kk is None:
+        (e_ref, insx_ref, insy_ref, lymask_ref, lxf_ref,
+         m_out_ref, sly_ref,
+         m_s, ix_s, iy_s, jx_s, jy_s, c0_s,
+         am_s, aix_s, aiy_s, ajx_s, ajy_s) = refs
+        e_row = e_ref[0, :, :]
+    else:
+        (xm_ref, oy_ref, insx_ref, insy_ref, lymask_ref, lxf_ref,
+         m_out_ref, sly_ref,
+         m_s, ix_s, iy_s, jx_s, jy_s, c0_s,
+         am_s, aix_s, aiy_s, ajx_s, ajy_s) = refs
+        e_row = _emission_row(xm_ref, oy_ref, kk)
     i = pl.program_id(1)
     L = insy_ref.shape[1]
     tSM = params[0, P_TSM]
@@ -205,7 +230,6 @@ def _fwd_kernel(scan_k, n_rows, params, e_ref, insx_ref, insy_ref,
     ix0_p = c0_s[:, 0:1]
     jx0_p = c0_s[:, 1:2]
 
-    e_row = e_ref[0, :, :]
     insx = insx_ref[0, :, :]   # (P, 1)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, e_row.shape, 1)
@@ -278,13 +302,18 @@ def _fwd_kernel(scan_k, n_rows, params, e_ref, insx_ref, insy_ref,
 # Backward kernel (forward-style over reversed sequences)
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(scan_k, params, e_ref, insx_ref, insy_ref,
-                m_out_ref,
-                m_s, ix_s, iy_s, jx_s, jy_s, c0_s):
+def _bwd_kernel(scan_k, kk, params, *refs):
     """Grid step u computes RB row u; m_out row u holds RB_M(u, v) for
-    v = 0..L-1 (column v=0 included via the shifted write).
+    v = 0..L-1 (column v=0 included via the shifted write). kk dispatch
+    as in _fwd_kernel (None = streamed emission row, K = fused).
     reference: src/bwdflat3.cpp:10-190.
     """
+    if kk is None:
+        (e_ref, insx_ref, insy_ref, m_out_ref,
+         m_s, ix_s, iy_s, jx_s, jy_s, c0_s) = refs
+    else:
+        (xm_ref, oy_ref, insx_ref, insy_ref, m_out_ref,
+         m_s, ix_s, iy_s, jx_s, jy_s, c0_s) = refs
     u = pl.program_id(1)
     L = insy_ref.shape[1]
     tSM = params[0, P_TSM]
@@ -331,7 +360,10 @@ def _bwd_kernel(scan_k, params, e_ref, insx_ref, insy_ref,
         jx0_p = c0_s[:, 1:2]
         m0_p = c0_s[:, 2:3]
 
-        e_row = e_ref[0, :, :]
+        if kk is None:
+            e_row = e_ref[0, :, :]
+        else:
+            e_row = _emission_row(xm_ref, oy_ref, kk)
         insx = insx_ref[0, :, :]   # (P, 1), row u-1 via the BlockSpec
 
         next_m = _shift_fill(m_p, m0_p) + e_row   # (u-1, v-1)
@@ -421,7 +453,7 @@ def _fwd_pallas(e_t, insx_t, insy, lymask, lxf, params, tile_p,
     lx, b, ly = e_t.shape
     grid = (b // tile_p, lx)
     m_lat, sly = pl.pallas_call(
-        partial(_fwd_kernel, scan_k, lx),
+        partial(_fwd_kernel, scan_k, lx, None),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 16), lambda t, i: (0, 0),
@@ -462,7 +494,7 @@ def _bwd_pallas(e_rev_t, insx_rev_t, insy_rev, params, tile_p,
     lx, b, ly = e_rev_t.shape
     grid = (b // tile_p, lx)
     m_lat = pl.pallas_call(
-        partial(_bwd_kernel, scan_k),
+        partial(_bwd_kernel, scan_k, None),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 16), lambda t, i: (0, 0),
@@ -484,6 +516,82 @@ def _bwd_pallas(e_rev_t, insx_rev_t, insy_rev, params, tile_p,
         scratch_shapes=[pltpu.VMEM((tile_p, ly), jnp.float32)] * 5
         + [pltpu.VMEM((tile_p, 128), jnp.float32)],
     )(params, e_rev_t, insx_rev_t, insy_rev)
+    return m_lat
+
+
+def _fwd_pallas_fused(xm_t, oy, insx_t, insy, lymask, lxf, params,
+                      tile_p, kk, scan_k=None):
+    """Fused-emission forward: xm_t (Lx, B, 128) streamed match-score
+    rows (lanes 0..kk-1 valid), oy (B, KP, Ly) persistent one-hot of y.
+    Returns ((Lx, B, Ly) M lattice, (B, 128) final states)."""
+    lx, b, _ = xm_t.shape
+    kp, ly = oy.shape[1], oy.shape[2]
+    grid = (b // tile_p, lx)
+    m_lat, sly = pl.pallas_call(
+        partial(_fwd_kernel, scan_k, lx, kk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 16), lambda t, i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, tile_p, 128), lambda t, i: (i, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_p, kp, ly), lambda t, i: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_p, 1), lambda t, i: (i, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_p, ly), lambda t, i: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_p, ly), lambda t, i: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_p, 128), lambda t, i: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile_p, ly), lambda t, i: (i, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_p, 128), lambda t, i: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((lx, b, ly), jnp.float32),
+            jax.ShapeDtypeStruct((b, 128), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((tile_p, ly), jnp.float32)] * 5
+        + [pltpu.VMEM((tile_p, 128), jnp.float32)]
+        + [pltpu.VMEM((tile_p, ly), jnp.float32)] * 5,
+    )(params, xm_t, oy, insx_t, insy, lymask, lxf)
+    return m_lat, sly
+
+
+def _bwd_pallas_fused(xm_rev_t, oy_rev, insx_rev_t, insy_rev, params,
+                      tile_p, kk, scan_k=None):
+    """Fused-emission backward (forward-style over reversed seqs)."""
+    lx, b, _ = xm_rev_t.shape
+    kp, ly = oy_rev.shape[1], oy_rev.shape[2]
+    grid = (b // tile_p, lx)
+    m_lat = pl.pallas_call(
+        partial(_bwd_kernel, scan_k, kk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 16), lambda t, i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, tile_p, 128),
+                         lambda t, i: (jnp.maximum(i - 1, 0), t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_p, kp, ly), lambda t, i: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_p, 1),
+                         lambda t, i: (jnp.maximum(i - 1, 0), t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_p, ly), lambda t, i: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_p, ly), lambda t, i: (i, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((lx, b, ly), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tile_p, ly), jnp.float32)] * 5
+        + [pltpu.VMEM((tile_p, 128), jnp.float32)],
+    )(params, xm_rev_t, oy_rev, insx_rev_t, insy_rev)
     return m_lat
 
 
@@ -541,8 +649,17 @@ def batch_posteriors_pallas_emissions(e, e_rev, ins_x, ins_y, ins_xr,
     rbm_t = _bwd_pallas(e_rev.transpose(1, 0, 2),
                         ins_xr.T[:, :, None], ins_yr,
                         params, tile_p, scan_k)
-    fm = fm_t.transpose(1, 0, 2)           # (B, Lx, Ly), rows i=1..Lx
-    rbm = rbm_t.transpose(1, 0, 2)         # (B, Lx, Ly), rows u=0..Lx-1
+    return _finish_posteriors(fm_t, rbm_t, f_end5, lxb, lyb, start,
+                              with_mea, tile_p)
+
+
+def _finish_posteriors(fm_t, rbm_t, f_end5, lxb, lyb, start, with_mea,
+                       tile_p):
+    """Posterior combine in the kernels' native (Lx, B, Ly) layout —
+    one transpose total (the final output), not three."""
+    bx, b, by = fm_t.shape
+    ii = jnp.arange(bx)
+    jj = jnp.arange(by)
 
     # total prob: F[s](lx, ly) + start scores (= B[s](lx, ly))
     bstart = jnp.stack([start[0], start[1], start[1], start[3], start[3]])
@@ -555,22 +672,25 @@ def batch_posteriors_pallas_emissions(e, e_rev, ins_x, ins_y, ins_xr,
     # posterior: combine F_M(i,j) with RB_M(lx-i, ly-j); the flip is a
     # full reverse + per-pair roll (valid region only — padding is
     # masked below)
-    b_m = jax.vmap(
+    b_m_t = jax.vmap(
         lambda rb, lx, ly: jnp.roll(rb[::-1, ::-1],
-                                    shift=(lx - bx, ly - by), axis=(0, 1))
-    )(rbm, lxb, lyb)
-    score = fm + b_m - tot[:, None, None]
-    valid = (ii[None, :, None] < lxb[:, None, None]) & \
-            (jj[None, None, :] < lyb[:, None, None])
-    post = jnp.where((score >= MIN_SPARSE_SCORE) & valid,
-                     jnp.exp(jnp.minimum(score, 0.0)), 0.0).astype(jnp.float32)
+                                    shift=(lx - bx, ly - by), axis=(0, 1)),
+        in_axes=(1, 0, 0), out_axes=1,
+    )(rbm_t, lxb, lyb)
+    score = fm_t + b_m_t - tot[None, :, None]
+    valid = (ii[:, None, None] < lxb[None, :, None]) & \
+            (jj[None, None, :] < lyb[None, :, None])
+    post_t = jnp.where((score >= MIN_SPARSE_SCORE) & valid,
+                       jnp.exp(jnp.minimum(score, 0.0)),
+                       0.0).astype(jnp.float32)
 
     if with_mea:
-        scores = mea_scores_pallas(post.transpose(1, 0, 2), tile_p)
+        scores = mea_scores_pallas(post_t, tile_p)
         ea = scores / jnp.minimum(lxb, lyb).astype(jnp.float32)
     else:
-        ea = jnp.zeros((b,), jnp.float32)
-    return post, ea
+        b_ = post_t.shape[1]
+        ea = jnp.zeros((b_,), jnp.float32)
+    return post_t.transpose(1, 0, 2), ea
 
 
 def pack_scan_k(pack):
@@ -592,13 +712,45 @@ def batch_posteriors_pallas(xb, yb, lxb, lyb, match, insert, start, tv,
     """
     b, bx = xb.shape
     by = yb.shape[1]
+    if tile_p is None:
+        tile_p = _pick_tile_p(b)
     # reversed sequences: xr[u] = x[lx-1-u] = roll(flip(x), lx - Bx)
     # (roll-of-flip lowers to two slices; per-element gathers are slow)
     xr = jax.vmap(lambda x, lx: jnp.roll(x[::-1], lx - bx))(xb, lxb)
     yr = jax.vmap(lambda y, ly: jnp.roll(y[::-1], ly - by))(yb, lyb)
-    e = emission_matrix(xb, yb, match)
-    e_rev = emission_matrix(xr, yr, match)
-    return batch_posteriors_pallas_emissions(
-        e, e_rev, insert[xb], insert[yb], insert[xr], insert[yr],
-        lxb, lyb, start, tv, with_mea=with_mea, tile_p=tile_p,
-        scan_k=scan_k)
+
+    kk = match.shape[0]
+    kp = _round_up(kk, 8)
+
+    def xmt(codes):
+        # (B, L) codes -> (L, B, 128) match-score rows, lanes 0..kk-1
+        ox = jax.nn.one_hot(codes, kk, dtype=jnp.float32)
+        xm = jax.lax.dot_general(ox, match, (((2,), (0,)), ((), ())),
+                                 precision=jax.lax.Precision.HIGHEST)
+        return jnp.pad(xm, ((0, 0), (0, 0), (0, 128 - kk))
+                       ).transpose(1, 0, 2)
+
+    def oyt(codes):
+        # (B, L) codes -> (B, KP, L) one-hot along sublanes
+        oy = jax.nn.one_hot(codes, kk, dtype=jnp.float32,
+                            axis=1)          # (B, kk, L)
+        return jnp.pad(oy, ((0, 0), (0, kp - kk), (0, 0)))
+
+    jj = jnp.arange(by)
+    lymask = (jj[None, :] == (lyb[:, None] - 1)).astype(jnp.float32)
+    lxf = jnp.broadcast_to(lxb.astype(jnp.float32)[:, None], (b, 128))
+
+    params = jnp.zeros((1, 16), jnp.float32)
+    params = params.at[0, P_TSM].set(start[0])
+    params = params.at[0, P_TSI].set(start[1])
+    params = params.at[0, P_TSJ].set(start[3])
+    params = params.at[0, 3:10].set(tv[:7])
+
+    fm_t, f_end5 = _fwd_pallas_fused(
+        xmt(xb), oyt(yb), insert[xb].T[:, :, None], insert[yb],
+        lymask, lxf, params, tile_p, kk, scan_k)
+    rbm_t = _bwd_pallas_fused(
+        xmt(xr), oyt(yr), insert[xr].T[:, :, None], insert[yr],
+        params, tile_p, kk, scan_k)
+    return _finish_posteriors(fm_t, rbm_t, f_end5, lxb, lyb, start,
+                              with_mea, tile_p)
