@@ -14,7 +14,7 @@ from muscle_tpu.qscore import qscore
 
 FA_DIR = "/root/reference/test_data/fa"
 REF_DIR = "/root/reference/test_data/ref_alns"
-GOLDEN_DIR = "/tmp/goldens"
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 
 needs_testdata = pytest.mark.skipif(
     not os.path.isdir(FA_DIR), reason="reference test_data not available")
@@ -25,11 +25,11 @@ def test_bb11001_column_identical_to_reference():
     from muscle_tpu.pipeline.mpc import align
     ms = MultiSequence.from_fasta(f"{FA_DIR}/BB11001")
     msa = align(ms)
-    golden_path = f"{GOLDEN_DIR}/BB11001.afa"
-    if os.path.exists(golden_path):
-        gold = {s.label: s.text() for s in MultiSequence.from_fasta(golden_path)}
-        mine = {s.label: s.text() for s in msa}
-        assert mine == gold
+    # committed golden = reference binary output (tests/goldens/README.md)
+    gold = {s.label: s.text() for s in
+            MultiSequence.from_fasta(f"{GOLDEN_DIR}/BB11001.seq.afa")}
+    mine = {s.label: s.text() for s in msa}
+    assert mine == gold
     # independent accuracy floor vs the published golden Q/TC
     ref = MultiSequence.from_fasta(f"{REF_DIR}/BB11001")
     q, tc = qscore(msa, ref)

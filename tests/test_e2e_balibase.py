@@ -1,0 +1,78 @@
+"""Full BAliBASE RV11 end-to-end suite vs committed reference goldens.
+
+Marked `slow` (excluded from the default pytest run — see pyproject):
+runs the complete MPC pipeline on all 7 families, sequences and
+structures, ~minutes on CPU. Run with `pytest -m slow`.
+
+Gate per workload: output is column-identical to the committed
+reference-binary golden (tests/goldens/), OR scores at least the
+published golden Q/TC (reference: test_scripts/check_results.py:37-51
+enforces only >= 0.7x; equality is stricter).
+"""
+
+import os
+
+import pytest
+
+from muscle_tpu.qscore import qscore
+from muscle_tpu.sequence import MultiSequence, Sequence
+
+FA_DIR = "/root/reference/test_data/fa"
+MEGA_DIR = "/root/reference/test_data/mega"
+REF_DIR = "/root/reference/test_data/ref_alns"
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+
+GOLDEN_SEQ = {
+    "BB11001": (1.000, 1.000), "BB11002": (0.611, 0.000),
+    "BB11004": (0.674, 0.500), "BB11005": (0.568, 0.170),
+    "BB11006": (0.561, 0.375), "BB11007": (0.837, 0.662),
+    "BB11009": (0.758, 0.700),
+}
+GOLDEN_MEGA = {
+    "BB11001": (0.985, 0.982), "BB11002": (0.838, 0.353),
+    "BB11004": (0.812, 0.685), "BB11005": (0.754, 0.455),
+    "BB11006": (0.683, 0.500), "BB11007": (0.925, 0.768),
+    "BB11009": (0.764, 0.617),
+}
+
+needs_testdata = pytest.mark.skipif(
+    not os.path.isdir(FA_DIR), reason="reference test_data not available")
+
+FAMILIES = sorted(GOLDEN_SEQ)
+
+
+def _check(msa, fam, golden_file, gq, gtc, by_sequence=False):
+    gold = {s.label: s.text() for s in
+            MultiSequence.from_fasta(f"{GOLDEN_DIR}/{golden_file}")}
+    mine = {s.label: s.text() for s in msa}
+    if mine == gold:
+        return
+    ref = MultiSequence.from_fasta(f"{REF_DIR}/{fam}")
+    q, tc = qscore(msa, ref, by_sequence=by_sequence)
+    assert q >= gq and tc >= gtc, (
+        f"{fam}: not column-identical and Q/TC {q:.3f}/{tc:.3f} below "
+        f"golden {gq:.3f}/{gtc:.3f}")
+
+
+@pytest.mark.slow
+@needs_testdata
+@pytest.mark.parametrize("fam", FAMILIES)
+def test_balibase_seq(fam):
+    from muscle_tpu.pipeline.mpc import align
+    msa = align(MultiSequence.from_fasta(f"{FA_DIR}/{fam}"))
+    gq, gtc = GOLDEN_SEQ[fam]
+    _check(msa, fam, f"{fam}.seq.afa", gq, gtc)
+
+
+@pytest.mark.slow
+@needs_testdata
+@pytest.mark.parametrize("fam", FAMILIES)
+def test_balibase_mega(fam):
+    from muscle_tpu.io.mega import parse_mega
+    from muscle_tpu.pipeline.mpc import align
+    mega = parse_mega(f"{MEGA_DIR}/{fam}.mega")
+    seqs = MultiSequence([Sequence(lb, sq)
+                          for lb, sq in zip(mega.labels, mega.seqs)])
+    msa = align(seqs, mega=mega)
+    gq, gtc = GOLDEN_MEGA[fam]
+    _check(msa, fam, f"{fam}.mega.afa", gq, gtc, by_sequence=True)

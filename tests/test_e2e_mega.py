@@ -9,7 +9,7 @@ from muscle_tpu.sequence import MultiSequence, Sequence
 
 MEGA_DIR = "/root/reference/test_data/mega"
 REF_DIR = "/root/reference/test_data/ref_alns"
-GOLDEN_DIR = "/tmp/goldens_mega"
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 
 needs_testdata = pytest.mark.skipif(
     not os.path.isdir(MEGA_DIR), reason="reference test_data not available")
@@ -39,10 +39,10 @@ def test_mega_align_bb11001_matches_reference():
     seqs = MultiSequence([Sequence(lb, sq)
                           for lb, sq in zip(mega.labels, mega.seqs)])
     msa = align(seqs, mega=mega)
-    golden = f"{GOLDEN_DIR}/BB11001.afa"
-    if os.path.exists(golden):
-        gold = {s.label: s.text() for s in MultiSequence.from_fasta(golden)}
-        assert {s.label: s.text() for s in msa} == gold
+    # committed golden = reference binary output (tests/goldens/README.md)
+    gold = {s.label: s.text() for s in
+            MultiSequence.from_fasta(f"{GOLDEN_DIR}/BB11001.mega.afa")}
+    assert {s.label: s.text() for s in msa} == gold
     ref = MultiSequence.from_fasta(f"{REF_DIR}/BB11001")
     q, tc = qscore(msa, ref, by_sequence=True)
     # golden: Q=0.985 TC=0.982 (check_results.py:44); >= 0.7x tolerance

@@ -8,7 +8,8 @@ import pytest
 from muscle_tpu.sequence import MultiSequence, Sequence
 
 MEGA = "/root/reference/test_data/mega/BB11001.mega"
-GOLDEN = "/tmp/goldens_mega/BB11001.afa"
+GOLDEN = os.path.join(os.path.dirname(__file__), "goldens",
+                      "BB11001.mega.afa")
 
 needs_data = pytest.mark.skipif(not os.path.exists(MEGA),
                                 reason="no mega test data")
