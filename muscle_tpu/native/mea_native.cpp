@@ -99,6 +99,52 @@ void build_post_accumulate(float* out, int64_t cc2,
         }
     }
 
+// Sparse column-posterior accumulation from the fixed-K row layout
+// (muscle_tpu/ops/sparse.py): per stored entry (i, c, v) with c >= 0,
+//   transposed == 0: out[ptc1[i]*cc2 + ptc2[c]] += v
+//   transposed != 0: out[ptc1[c]*cc2 + ptc2[i]] += v   (pair stored in
+// the opposite orientation). reference: the same accumulation walked
+// through MySparseMx offsets in BuildPost (src/buildpostflat.cpp:60-100).
+void build_post_accumulate_sparse(float* out, int64_t cc2,
+                                  const float* vals, const int32_t* cols,
+                                  int64_t lx, int64_t k,
+                                  const uint32_t* ptc1,
+                                  const uint32_t* ptc2, int transposed)
+    {
+    if (!transposed)
+        {
+        for (int64_t i = 0; i < lx; ++i)
+            {
+            float* orow = out + (int64_t)ptc1[i] * cc2;
+            const float* vrow = vals + i * k;
+            const int32_t* crow = cols + i * k;
+            for (int64_t m = 0; m < k; ++m)
+                {
+                int32_t c = crow[m];
+                if (c < 0)
+                    break;          // slots are packed valid-first
+                orow[ptc2[c]] += vrow[m];
+                }
+            }
+        }
+    else
+        {
+        for (int64_t i = 0; i < lx; ++i)
+            {
+            const float* vrow = vals + i * k;
+            const int32_t* crow = cols + i * k;
+            uint32_t o2 = ptc2[i];
+            for (int64_t m = 0; m < k; ++m)
+                {
+                int32_t c = crow[m];
+                if (c < 0)
+                    break;
+                out[(int64_t)ptc1[c] * cc2 + o2] += vrow[m];
+                }
+            }
+        }
+    }
+
 // Score-only MEA DP (reference: src/calcalnscoreflat.cpp).
 float mea_score(const float* post, int64_t lx, int64_t ly, float* rows)
     {

@@ -31,6 +31,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .pairhmm import MIN_SPARSE_PROB
 
@@ -95,3 +96,143 @@ def pair_tensor_from_triu(post_pairs, pairs, n, l):
 
 def sparsity_mask(post_nn: jnp.ndarray) -> jnp.ndarray:
     return post_nn >= MIN_SPARSE_PROB
+
+
+# ---------------------------------------------------------------------------
+# Blocked sparse consistency — the memory-scalable path
+# ---------------------------------------------------------------------------
+#
+# The dense path above materializes the full (N*L, N*L) block matrix:
+# exact, but O(N^2 L^2) memory (42 GB at N=200, L=512 — measured OOM at
+# N=64 on a 16 GB chip). Here the pair posteriors live in the fixed-K
+# row-sparse store (ops/sparse.py) and the M @ M product is computed
+# block-by-block: for each (X-block, Y-block) of output pairs,
+# accumulate over Z-tiles with both panels *densified on the fly* into
+# (block, tile) dense slabs and contracted as one big MXU matmul.
+# Identity diagonal blocks (the 2*P_XY term) and transposed orientation
+# (P_ZY = P_YZ^T for Z > Y) are handled per-slab by flag maps. Only the
+# fixed sparsity pattern of the output pair is gathered from the
+# accumulator, so the updated store never grows — exactly the
+# reference's rewrite-through-old-offsets semantics
+# (src/mysparsemx.cpp:88-113).
+
+FLAG_STORE, FLAG_TRANS, FLAG_EYE = 0, 1, 2
+
+
+def pair_index(x: int, y: int, n: int) -> int:
+    """Index of pair (x, y), x < y, in the canonical
+    [(x, y) for x in range(n) for y in range(x+1, n)] order."""
+    return x * n - x * (x + 1) // 2 + (y - x - 1)
+
+
+def _block_maps(n: int, nb: int, dump: int):
+    """(nb, nb) pair-id and orientation-flag matrices; entry (a, b)
+    describes how to materialize dense M[a, b]. Dump row `dump`
+    (all-zero) backs padded/eye slots."""
+    pid = np.full((nb, nb), dump, dtype=np.int32)
+    flag = np.zeros((nb, nb), dtype=np.int8)
+    for a in range(n):
+        flag[a, a] = FLAG_EYE
+        for b in range(a + 1, n):
+            k = pair_index(a, b, n)
+            pid[a, b] = k
+            pid[b, a] = k
+            flag[b, a] = FLAG_TRANS
+    return pid, flag
+
+
+@partial(jax.jit, static_argnames=("bx", "by", "t", "l", "precision"),
+         donate_argnames=("out_vals",))
+def _consistency_block(vals, cols, out_vals, pid_rows, flag_rows,
+                       pid_cols, flag_cols, pid_out, inv_n,
+                       bx: int, by: int, t: int, l: int, precision: str):
+    """One (X-block, Y-block) of the blocked M @ M.
+
+    vals/cols: (P+1, L, K) store (dump row last). pid_rows/flag_rows:
+    (bx, nb) Z-panel maps for the X rows; pid_cols/flag_cols: (nb, by);
+    pid_out: (bx, by) output pair ids (dump for invalid). Returns
+    out_vals with the block's pairs updated.
+    """
+    nb = pid_rows.shape[1]
+    k = vals.shape[2]
+    eye = jnp.eye(l, dtype=jnp.float32)
+    ri = jnp.arange(l)[None, :, None]
+
+    def densify_panel(ids, flags):
+        # ids, flags: (r*c,) -> (r*c, l, l)
+        v = jnp.where(cols[ids] >= 0, vals[ids], 0.0)
+        c = jnp.where(cols[ids] >= 0, cols[ids], 0)
+        m = ids.shape[0]
+        d = jnp.zeros((m, l, l), jnp.float32)
+        d = d.at[jnp.arange(m)[:, None, None], ri, c].add(v)
+        d = jnp.where((flags == FLAG_TRANS)[:, None, None],
+                      jnp.swapaxes(d, -1, -2), d)
+        d = jnp.where((flags == FLAG_EYE)[:, None, None], eye[None], d)
+        return d
+
+    def zstep(zi, acc):
+        pr = jax.lax.dynamic_slice(pid_rows, (0, zi * t), (bx, t))
+        fr = jax.lax.dynamic_slice(flag_rows, (0, zi * t), (bx, t))
+        pc = jax.lax.dynamic_slice(pid_cols, (zi * t, 0), (t, by))
+        fc = jax.lax.dynamic_slice(flag_cols, (zi * t, 0), (t, by))
+        left = densify_panel(pr.reshape(-1), fr.reshape(-1))
+        right = densify_panel(pc.reshape(-1), fc.reshape(-1))
+        lm = left.reshape(bx, t, l, l).transpose(0, 2, 1, 3) \
+                 .reshape(bx * l, t * l)
+        rm = right.reshape(t, by, l, l).transpose(0, 2, 1, 3) \
+                  .reshape(t * l, by * l)
+        return acc + jnp.dot(lm, rm, precision=precision,
+                             preferred_element_type=jnp.float32)
+
+    acc = jax.lax.fori_loop(
+        0, nb // t, zstep, jnp.zeros((bx * l, by * l), jnp.float32))
+    accp = acc.reshape(bx, l, by, l).transpose(0, 2, 1, 3) \
+              .reshape(bx * by, l, l)
+    po = pid_out.reshape(-1)
+    cxy = cols[po]
+    g = jnp.take_along_axis(accp, jnp.where(cxy >= 0, cxy, 0),
+                            axis=-1) * inv_n
+    newv = jnp.where(cxy >= 0, g, 0.0)
+    return out_vals.at[po].set(newv)
+
+
+def consistency_sparse(vals, cols, n: int, iters: int, *,
+                       seq_block: int = 16, precision: str = "highest"):
+    """Run `iters` consistency iterations over the device sparse store.
+
+    vals/cols: (>= P+1, L, K) device arrays in canonical pair order;
+    rows beyond P = n*(n-1)/2 are padding and the LAST row must be
+    all-zero (the dump slot). Returns the updated vals store
+    (cols/pattern unchanged — reference semantics).
+    """
+    p1, l, k = vals.shape
+    n_pairs = n * (n - 1) // 2
+    dump = p1 - 1
+    assert n_pairs <= dump
+    blk = min(seq_block, max(1, n))
+    nb = -(-n // blk) * blk
+    t = blk
+    pid, flag = _block_maps(n, nb, dump)
+    pid_d = jnp.asarray(pid)
+    flag_d = jnp.asarray(flag.astype(np.int32))
+    inv_n = jnp.float32(1.0 / n)
+    nblk = nb // blk
+
+    for _ in range(iters):
+        out = jnp.zeros_like(vals)
+        for bi in range(nblk):
+            rs = slice(bi * blk, (bi + 1) * blk)
+            for bj in range(bi, nblk):
+                cs = slice(bj * blk, (bj + 1) * blk)
+                pid_out = np.full((blk, blk), dump, np.int32)
+                for a in range(rs.start, min(rs.stop, n)):
+                    for b in range(max(cs.start, a + 1), min(cs.stop, n)):
+                        pid_out[a - rs.start, b - cs.start] = \
+                            pair_index(a, b, n)
+                out = _consistency_block(
+                    vals, cols, out,
+                    pid_d[rs], flag_d[rs], pid_d[:, cs], flag_d[:, cs],
+                    jnp.asarray(pid_out), inv_n,
+                    bx=blk, by=blk, t=t, l=l, precision=precision)
+        vals = out
+    return vals

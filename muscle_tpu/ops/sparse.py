@@ -1,0 +1,87 @@
+"""Fixed-K row-sparse posterior representation (device + host).
+
+The reference stores pair posteriors as variable-nnz CSR sparse
+matrices thresholded at 0.01 (reference: src/mysparsemx.h:6-98,
+MIN_SPARSE_PROB). Measured on real data (BAliBASE + rdrp) posterior
+rows hold ~5 entries on average, p99 = 16, max ~26 — so a fixed-K
+per-row layout (K = 32 default) is an *exact* encoding in practice
+while keeping every shape static for XLA:
+
+    vals: (B, Lx, K) float32   top-K probabilities per row (desc)
+    cols: (B, Lx, K) int32     matching column indices, -1 = empty slot
+
+`sparsify` reports the true max row-nnz so callers can detect (and
+log) the rare truncation case. Everything here is layout-compatible
+with the blocked consistency transform (ops/consistency.py) and the
+host-side progressive aligner (pipeline/progressive.py).
+
+TPU-first rationale: posteriors are born on device; with the fixed-K
+layout they *stay* on device through consistency, and the single
+device->host transfer at the end of the pair stage shrinks ~L/(2K)x
+vs the dense matrix (the host link is the scarcest resource on a
+tunneled TPU).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DEFAULT_K = 32
+
+
+@partial(jax.jit, static_argnames=("k",))
+def sparsify(post: jnp.ndarray, k: int = DEFAULT_K):
+    """(B, Lx, Ly) thresholded posterior -> (vals, cols, max_nnz).
+
+    post must already be exactly 0 below the 0.01 sparsity threshold
+    (ops/pairhmm._finish_posteriors guarantees this), so slot validity
+    is simply vals > 0.
+    """
+    vals, cols = jax.lax.top_k(post, k)
+    valid = vals > 0.0
+    vals = jnp.where(valid, vals, 0.0)
+    cols = jnp.where(valid, cols, -1)
+    max_nnz = jnp.max(jnp.sum((post > 0.0).astype(jnp.int32), axis=-1))
+    return vals, cols, max_nnz
+
+
+@partial(jax.jit, static_argnames=("ly",))
+def densify(vals: jnp.ndarray, cols: jnp.ndarray, ly: int) -> jnp.ndarray:
+    """(B, Lx, K) sparse -> (B, Lx, ly) dense, on device."""
+    b, lx, k = vals.shape
+    out = jnp.zeros((b, lx, ly), jnp.float32)
+    bi = jnp.arange(b)[:, None, None]
+    ri = jnp.arange(lx)[None, :, None]
+    # cols are unique within a row; scatter-add == scatter-set here but
+    # add keeps the op order-insensitive
+    return out.at[bi, ri, jnp.where(cols >= 0, cols, 0)].add(
+        jnp.where(cols >= 0, vals, 0.0))
+
+
+def densify_np(vals: np.ndarray, cols: np.ndarray, ly: int) -> np.ndarray:
+    """(Lx, K) sparse -> (Lx, ly) dense, host-side (plain assignment —
+    column indices are unique within a row)."""
+    lx, k = vals.shape
+    out = np.zeros((lx, ly), np.float32)
+    m = cols >= 0
+    ri = np.broadcast_to(np.arange(lx)[:, None], cols.shape)
+    out[ri[m], cols[m]] = vals[m]
+    return out
+
+
+def sparsify_np(post: np.ndarray, k: int = DEFAULT_K):
+    """Host-side reference sparsify (tests / tiny inputs)."""
+    lx, ly = post.shape
+    vals = np.zeros((lx, k), np.float32)
+    cols = np.full((lx, k), -1, np.int32)
+    for i in range(lx):
+        nz = np.nonzero(post[i] > 0)[0]
+        order = np.argsort(-post[i][nz], kind="stable")
+        nz = nz[order][:k]
+        vals[i, :len(nz)] = post[i][nz]
+        cols[i, :len(nz)] = nz
+    return vals, cols

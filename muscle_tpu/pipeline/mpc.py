@@ -41,7 +41,9 @@ class MPC:
                  guide_tree_in: Tree | None = None,
                  input_order: bool = False,
                  mega=None,
-                 random_chain_tree: bool = False):
+                 random_chain_tree: bool = False,
+                 sparse_k: int = 32,
+                 consistency_precision: str = "highest"):
         self.consistency_iters = consistency_iters
         self.refine_iters = refine_iters
         self.tree_perm = tree_perm
@@ -50,6 +52,8 @@ class MPC:
         self.input_order = input_order
         self.mega = mega          # MegaProfileSet for Muscle-3D emissions
         self.random_chain_tree = random_chain_tree
+        self.sparse_k = sparse_k
+        self.consistency_precision = consistency_precision
         self.guide_tree: Tree | None = None
         self.dist_mx: np.ndarray | None = None
 
@@ -78,6 +82,10 @@ class MPC:
         pad_to = post_mod.round_up(lmax, 128)
         pairs = [(x, y) for x in range(n) for y in range(x + 1, n)]
 
+        # posteriors are computed AND kept on device in the fixed-K
+        # sparse layout (ops/sparse.py): the dense (P, L, L) readback
+        # is both the round-1 OOM (N=64 on 16 GB) and, on a tunneled
+        # TPU, a ~L/(2K)x larger host transfer than needed
         if self.mega is not None:
             # Muscle-3D: emissions from feature profiles, matched by label
             # (reference: MPCFlat_mega, src/mpcflat_mega.cpp)
@@ -87,13 +95,20 @@ class MPC:
             profs = [prof_by_label[s.label] for s in unique]
             lens = np.array([p.shape[0] for p in profs], dtype=np.int32)
             profiles = pad_profiles(profs, pad_to)
-            post_arr, ea = post_mod.all_pairs_posteriors_mega(
-                profiles, lens, self.mega, pack, pairs,
-                batch_size=self.batch_size)
+            store_v, store_c, ea, max_nnz = \
+                post_mod.all_pairs_posteriors_mega_sparse(
+                    profiles, lens, self.mega, pack, pairs,
+                    batch_size=self.batch_size, k=self.sparse_k)
         else:
             codes, lens = post_mod.encode_batch(unique, alpha, pad_to=pad_to)
-            post_arr, ea = post_mod.all_pairs_posteriors(
-                codes, lens, pack, pairs, batch_size=self.batch_size)
+            store_v, store_c, ea, max_nnz = \
+                post_mod.all_pairs_posteriors_sparse(
+                    codes, lens, pack, pairs,
+                    batch_size=self.batch_size, k=self.sparse_k)
+        if max_nnz > self.sparse_k:
+            from ..utils.logging import log
+            log(f"sparse posterior truncation: max row nnz {max_nnz} > "
+                f"K={self.sparse_k}")
         self.dist_mx = post_mod.ea_dist_matrix(n, pairs, ea)
 
         # guide tree BEFORE consistency (reference: src/mpcflat.cpp:306-310)
@@ -112,13 +127,23 @@ class MPC:
                 tree = perm_tree(tree, self.tree_perm)
         self.guide_tree = tree
 
-        # consistency transform
-        posts = PairPosteriors()
+        # consistency transform (device, blocked over the sparse store)
         if n >= 3 and self.consistency_iters > 0:
-            post_arr = self._consistency(post_arr, pairs, n, lens)
-        for (x, y), P in zip(pairs, post_arr):
-            posts.set(x, y, P[:lens[x], :lens[y]])
-        del post_arr
+            from ..ops.consistency import consistency_sparse
+            l = store_v.shape[1]
+            seq_block = max(1, min(16, 16384 // l))
+            store_v = consistency_sparse(
+                store_v, store_c, n, self.consistency_iters,
+                seq_block=seq_block, precision=self.consistency_precision)
+        # single bulk device->host fetch of the (small) sparse store
+        posts = PairPosteriors()
+        vals_np = np.asarray(store_v)
+        cols_np = np.asarray(store_c)
+        del store_v, store_c
+        for i, (x, y) in enumerate(pairs):
+            posts.set_sparse(x, y, vals_np[i, :lens[x]],
+                             cols_np[i, :lens[x]], int(lens[y]))
+        del vals_np, cols_np
 
         idx1, idx2 = guide_tree_join_order(tree, label_to_index)
         msa = progressive_align(unique, idx1, idx2, label_to_index, posts)
@@ -131,21 +156,6 @@ class MPC:
         if dupes:
             msa = self._insert_dupes(msa, dupes)
         return msa
-
-    # ------------------------------------------------------------------
-    def _consistency(self, post_arr: np.ndarray, pairs, n: int,
-                     lens: np.ndarray) -> np.ndarray:
-        import jax.numpy as jnp
-        from ..ops import consistency as cons
-
-        t = cons.pair_tensor_from_triu(jnp.asarray(post_arr), pairs, n,
-                                       post_arr.shape[1])
-        mask = cons.sparsity_mask(t)
-        for _ in range(self.consistency_iters):
-            t = cons.consistency_iter(t, mask, n)
-        xi = np.array([p[0] for p in pairs])
-        yi = np.array([p[1] for p in pairs])
-        return np.asarray(t[xi, yi])
 
     # ------------------------------------------------------------------
     @staticmethod

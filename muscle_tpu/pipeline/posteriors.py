@@ -11,6 +11,8 @@ device mesh.
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -48,6 +50,40 @@ def default_backend() -> str:
         return "scan"
 
 
+def _make_batch_fn(codes_l, pack, with_mea, backend, device_batch_fn,
+                   n_dev):
+    """Device batch function (xb, yb, lxb, lyb) -> (post, ea)."""
+    args = pairhmm.score_args(pack)
+    if device_batch_fn is not None:
+        return device_batch_fn
+    if n_dev > 1:
+        # shard the pair axis across the device mesh (pure data
+        # parallel; chunk padding keeps B a mesh multiple)
+        from ..parallel.mesh import make_mesh, sharded_batch_posteriors
+        return sharded_batch_posteriors(make_mesh(), pack,
+                                        with_mea=with_mea, backend=backend)
+    if backend == "pallas":
+        from ..ops import pairhmm_pallas
+        assert codes_l % 128 == 0, "pallas path needs 128-padded L"
+        scan_k = pairhmm_pallas.pack_scan_k(pack)
+        return lambda xb, yb, lxb, lyb: \
+            pairhmm_pallas.batch_posteriors_pallas(
+                xb, yb, lxb, lyb, *args, with_mea=with_mea, scan_k=scan_k)
+    return lambda xb, yb, lxb, lyb: pairhmm.batch_posteriors(
+        xb, yb, lxb, lyb, *args, with_mea=with_mea)
+
+
+def _chunk_iter(pairs, b):
+    for lo in range(0, len(pairs), b):
+        chunk = pairs[lo:lo + b]
+        # pad the final chunk by repeating the first pair (same shapes ->
+        # one XLA compilation); padded lanes are discarded by callers
+        full = list(chunk) + [chunk[0]] * (b - len(chunk))
+        xi = np.array([p[0] for p in full])
+        yi = np.array([p[1] for p in full])
+        yield lo, len(chunk), xi, yi
+
+
 def all_pairs_posteriors(codes: np.ndarray, lens: np.ndarray,
                          pack: ScorePack, pairs: list[tuple[int, int]],
                          batch_size: int = 32, with_mea: bool = True,
@@ -57,6 +93,11 @@ def all_pairs_posteriors(codes: np.ndarray, lens: np.ndarray,
     Returns (post (P, L, L) float32 numpy, ea (P,) float32 numpy) where
     L is the padded length of `codes`. `backend` picks the device
     kernel: 'pallas' (TPU) or 'scan' (pure-XLA reference path).
+
+    NOTE: this dense variant materializes every pair posterior on host;
+    prefer `all_pairs_posteriors_sparse` (device-resident fixed-K
+    store) anywhere N is non-trivial — the dense D2H transfer is the
+    dominant cost on a tunneled TPU.
     """
     n_pairs = len(pairs)
     if n_pairs == 0:
@@ -65,51 +106,92 @@ def all_pairs_posteriors(codes: np.ndarray, lens: np.ndarray,
 
     if backend == "auto":
         backend = default_backend()
-    args = pairhmm.score_args(pack)
     import jax
     n_dev = len(jax.devices())
-    if device_batch_fn is not None:
-        fn = device_batch_fn
-    elif n_dev > 1:
-        # shard the pair axis across the device mesh (pure data
-        # parallel; chunk padding below keeps B a mesh multiple)
-        from ..parallel.mesh import make_mesh, sharded_batch_posteriors
-        fn = sharded_batch_posteriors(make_mesh(), pack, with_mea=with_mea,
-                                      backend=backend)
-    elif backend == "pallas":
-        from ..ops import pairhmm_pallas
-        assert codes.shape[1] % 128 == 0, "pallas path needs 128-padded L"
-        scan_k = pairhmm_pallas.pack_scan_k(pack)
-        fn = lambda xb, yb, lxb, lyb: pairhmm_pallas.batch_posteriors_pallas(
-            xb, yb, lxb, lyb, *args, with_mea=with_mea, scan_k=scan_k)
-    else:
-        fn = lambda xb, yb, lxb, lyb: pairhmm.batch_posteriors(
-            xb, yb, lxb, lyb, *args, with_mea=with_mea)
-
+    fn = _make_batch_fn(codes.shape[1], pack, with_mea, backend,
+                        device_batch_fn, n_dev)
+    b = _pick_chunk(batch_size, n_pairs, backend, n_dev)
     posts = []
     eas = []
+    for lo, m, xi, yi in _chunk_iter(pairs, b):
+        post, ea = fn(jnp.asarray(codes[xi]), jnp.asarray(codes[yi]),
+                      jnp.asarray(lens[xi]), jnp.asarray(lens[yi]))
+        posts.append(np.asarray(post)[:m])
+        eas.append(np.asarray(ea)[:m])
+    return np.concatenate(posts), np.concatenate(eas)
+
+
+def _pick_chunk(batch_size, n_pairs, backend, n_dev):
     b = min(batch_size, n_pairs)
     if backend == "pallas":
         b = round_up(b, 8)       # tile_p granularity
     if n_dev > 1:
         b = round_up(b, n_dev)   # even shards across the mesh
-    for lo in range(0, n_pairs, b):
-        chunk = pairs[lo:lo + b]
-        # pad the final chunk by repeating the first pair (same shapes ->
-        # one XLA compilation); padded lanes are discarded below
-        pad = b - len(chunk)
-        full = list(chunk) + [chunk[0]] * pad
-        xi = np.array([p[0] for p in full])
-        yi = np.array([p[1] for p in full])
-        post, ea = fn(jnp.asarray(codes[xi]), jnp.asarray(codes[yi]),
-                      jnp.asarray(lens[xi]), jnp.asarray(lens[yi]))
-        post = np.asarray(post)
-        ea = np.asarray(ea)
-        if pad:
-            post, ea = post[:len(chunk)], ea[:len(chunk)]
-        posts.append(post)
-        eas.append(ea)
-    return np.concatenate(posts), np.concatenate(eas)
+    return b
+
+
+def _sparse_store_loop(fn, codes_or_profiles, lens, pairs, b, k, l,
+                       chunk_args_fn):
+    """Shared device loop: run batches, sparsify on device, accumulate
+    into a device-resident (Ppad+1, L, K) store. Returns
+    (vals_dev, cols_dev, ea_np, max_nnz_int)."""
+    import jax
+    from ..ops import sparse as sp
+
+    n_pairs = len(pairs)
+    p_pad = round_up(n_pairs, b)
+    store_v = jnp.zeros((p_pad + 1, l, k), jnp.float32)
+    store_c = jnp.full((p_pad + 1, l, k), -1, jnp.int32)
+    store_ea = jnp.zeros((p_pad,), jnp.float32)
+    max_nnz = jnp.zeros((), jnp.int32)
+
+    @partial(jax.jit, donate_argnames=("sv", "sc", "se", "mx"),
+             static_argnames=("kk",))
+    def absorb(sv, sc, se, mx, post, ea, lo, kk):
+        vals, cols, nnz = sp.sparsify(post, kk)
+        sv = jax.lax.dynamic_update_slice(sv, vals, (lo, 0, 0))
+        sc = jax.lax.dynamic_update_slice(sc, cols, (lo, 0, 0))
+        se = jax.lax.dynamic_update_slice(se, ea, (lo,))
+        return sv, sc, se, jnp.maximum(mx, nnz)
+
+    for lo, m, xi, yi in _chunk_iter(pairs, b):
+        post, ea = fn(*chunk_args_fn(xi, yi))
+        store_v, store_c, store_ea, max_nnz = absorb(
+            store_v, store_c, store_ea, max_nnz, post, ea,
+            jnp.int32(lo), kk=k)
+    ea_np = np.asarray(store_ea)[:n_pairs]
+    return store_v, store_c, ea_np, int(max_nnz)
+
+
+def all_pairs_posteriors_sparse(codes: np.ndarray, lens: np.ndarray,
+                                pack: ScorePack,
+                                pairs: list[tuple[int, int]],
+                                batch_size: int = 32, k: int = 32,
+                                device_batch_fn=None,
+                                backend: str = "auto"):
+    """Device-resident sparse variant of all_pairs_posteriors.
+
+    Returns (vals (Ppad+1, L, K) device, cols device, ea (P,) numpy,
+    max_nnz). The store's trailing row is the all-zero dump slot the
+    blocked consistency expects; rows [P, Ppad) are chunk padding.
+    max_nnz > K signals (rare) truncation of rows with more than K
+    entries >= 0.01 — callers should log it.
+    """
+    if backend == "auto":
+        backend = default_backend()
+    import jax
+    n_dev = len(jax.devices())
+    fn = _make_batch_fn(codes.shape[1], pack, True, backend,
+                        device_batch_fn, n_dev)
+    b = _pick_chunk(batch_size, len(pairs), backend, n_dev)
+    cj = jnp.asarray(codes)
+    lj = jnp.asarray(lens)
+
+    def chunk_args(xi, yi):
+        return cj[xi], cj[yi], lj[xi], lj[yi]
+
+    return _sparse_store_loop(fn, codes, lens, pairs, b, k,
+                              codes.shape[1], chunk_args)
 
 
 def ea_dist_matrix(n: int, pairs: list[tuple[int, int]], ea: np.ndarray
@@ -120,31 +202,13 @@ def ea_dist_matrix(n: int, pairs: list[tuple[int, int]], ea: np.ndarray
     return d
 
 
-def all_pairs_posteriors_mega(profiles: np.ndarray, lens: np.ndarray,
-                              mega, pack: ScorePack,
-                              pairs: list[tuple[int, int]],
-                              batch_size: int = 16, with_mea: bool = True,
-                              backend: str = "auto"):
-    """Muscle-3D variant: posteriors from feature-profile emissions.
-
-    profiles: (N, L, F) uint8 padded feature letters; transitions come
-    from the standard HMM params (`pack`), emissions from the mega
-    tables (reference: MPCFlat_mega overriding only Fwd/Bwd emissions,
-    src/mpcflat.h:63-66 + src/fwdflat_mega.cpp).
-    """
+def _make_mega_chunk_fn(mega, pack, with_mea, backend):
+    """Jitted (px, py, lx, ly) -> (post, ea) for mega profiles."""
     import jax
-    import jax.numpy as jnp
     from ..ops import pairhmm
     from ..ops.emissions import (mega_emission_matrix, mega_feature_arrays,
                                  mega_insert_scores)
 
-    n_pairs = len(pairs)
-    L = profiles.shape[1]
-    if n_pairs == 0:
-        return np.zeros((0, L, L), np.float32), np.zeros(0, np.float32)
-
-    if backend == "auto":
-        backend = default_backend()
     weights, log_probs, log_prob_mx = mega_feature_arrays(mega)
     start = jnp.asarray(pack.start)
     tv = pairhmm._trans_vec(pack)
@@ -171,24 +235,57 @@ def all_pairs_posteriors_mega(profiles: np.ndarray, lens: np.ndarray,
         return emis_fn(e, e_rev, ins_x, ins_y, ins_xr, ins_yr, lx, ly,
                        start, tv, with_mea=with_mea)
 
+    return run_chunk
+
+
+def all_pairs_posteriors_mega(profiles: np.ndarray, lens: np.ndarray,
+                              mega, pack: ScorePack,
+                              pairs: list[tuple[int, int]],
+                              batch_size: int = 16, with_mea: bool = True,
+                              backend: str = "auto"):
+    """Muscle-3D variant: posteriors from feature-profile emissions.
+
+    profiles: (N, L, F) uint8 padded feature letters; transitions come
+    from the standard HMM params (`pack`), emissions from the mega
+    tables (reference: MPCFlat_mega overriding only Fwd/Bwd emissions,
+    src/mpcflat.h:63-66 + src/fwdflat_mega.cpp).
+    """
+    n_pairs = len(pairs)
+    L = profiles.shape[1]
+    if n_pairs == 0:
+        return np.zeros((0, L, L), np.float32), np.zeros(0, np.float32)
+
+    if backend == "auto":
+        backend = default_backend()
+    run_chunk = _make_mega_chunk_fn(mega, pack, with_mea, backend)
+    b = _pick_chunk(batch_size, n_pairs, backend, 1)
     posts = []
     eas = []
-    b = min(batch_size, n_pairs)
-    if backend == "pallas":
-        b = round_up(b, 8)
-    for lo in range(0, n_pairs, b):
-        chunk = pairs[lo:lo + b]
-        pad = b - len(chunk)
-        full = list(chunk) + [chunk[0]] * pad
-        xi = np.array([p[0] for p in full])
-        yi = np.array([p[1] for p in full])
+    for lo, m, xi, yi in _chunk_iter(pairs, b):
         post, ea = run_chunk(jnp.asarray(profiles[xi]),
                              jnp.asarray(profiles[yi]),
                              jnp.asarray(lens[xi]), jnp.asarray(lens[yi]))
-        post = np.asarray(post)
-        ea = np.asarray(ea)
-        if pad:
-            post, ea = post[:len(chunk)], ea[:len(chunk)]
-        posts.append(post)
-        eas.append(ea)
+        posts.append(np.asarray(post)[:m])
+        eas.append(np.asarray(ea)[:m])
     return np.concatenate(posts), np.concatenate(eas)
+
+
+def all_pairs_posteriors_mega_sparse(profiles: np.ndarray,
+                                     lens: np.ndarray, mega,
+                                     pack: ScorePack,
+                                     pairs: list[tuple[int, int]],
+                                     batch_size: int = 16, k: int = 32,
+                                     backend: str = "auto"):
+    """Sparse device-resident variant of all_pairs_posteriors_mega."""
+    if backend == "auto":
+        backend = default_backend()
+    run_chunk = _make_mega_chunk_fn(mega, pack, True, backend)
+    b = _pick_chunk(batch_size, len(pairs), backend, 1)
+    pj = jnp.asarray(profiles)
+    lj = jnp.asarray(lens)
+
+    def chunk_args(xi, yi):
+        return pj[xi], pj[yi], lj[xi], lj[yi]
+
+    return _sparse_store_loop(run_chunk, profiles, lens, pairs, b, k,
+                              profiles.shape[1], chunk_args)

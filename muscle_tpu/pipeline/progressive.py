@@ -23,20 +23,57 @@ from ..utils.rng import GlibcRand
 
 
 class PairPosteriors:
-    """Pair posterior store: (x, y) with x < y -> (Lx, Ly) float32."""
+    """Pair posterior store: (x, y) with x < y -> fixed-K sparse rows.
+
+    Entries are (vals (Lx, K) f32, cols (Lx, K) int32, ly) in the
+    ops/sparse.py layout (-1 = empty slot, valid slots packed first).
+    Dense (Lx, Ly) matrices are accepted by `set` and sparsified, so
+    small callers (pprog, pairwise tools) keep working unchanged.
+    """
 
     def __init__(self):
-        self._d: dict[tuple[int, int], np.ndarray] = {}
+        self._d: dict[tuple[int, int], tuple] = {}
 
     def set(self, x: int, y: int, post: np.ndarray) -> None:
+        """Store a dense (Lx, Ly) posterior (sparsified on the fly)."""
+        from ..ops.sparse import sparsify_np
         assert x < y
-        self._d[(x, y)] = post
+        nnz_max = int((post > 0).sum(axis=1).max()) if post.size else 0
+        k = max(1, nnz_max)
+        vals, cols = sparsify_np(post, k)
+        self._d[(x, y)] = (vals, cols, post.shape[1])
+
+    def set_sparse(self, x: int, y: int, vals: np.ndarray,
+                   cols: np.ndarray, ly: int) -> None:
+        assert x < y
+        self._d[(x, y)] = (vals, cols, ly)
+
+    def get_sparse(self, x: int, y: int):
+        """(vals, cols, ly, transposed) — transposed=True means the
+        stored orientation is (y, x) and entry (i, c) maps to output
+        position (c, i)."""
+        if x < y:
+            v, c, ly = self._d[(x, y)]
+            return v, c, ly, False
+        v, c, ly = self._d[(y, x)]
+        return v, c, ly, True
 
     def get(self, x: int, y: int) -> np.ndarray:
-        """Posterior oriented (Lx rows, Ly cols) for any x != y."""
-        if x < y:
-            return self._d[(x, y)]
-        return self._d[(y, x)].T
+        """Dense posterior oriented (Lx rows, Ly cols) for any x != y."""
+        from ..ops.sparse import densify_np
+        v, c, ly, transposed = self.get_sparse(x, y)
+        d = densify_np(v, c, ly)
+        return d.T if transposed else d
+
+
+def _accumulate_sparse_np(out, vals, cols, p1, p2, transposed):
+    """Numpy fallback for the native sparse accumulation."""
+    m = cols >= 0
+    ri = np.broadcast_to(np.arange(vals.shape[0])[:, None], cols.shape)
+    if not transposed:
+        np.add.at(out, (p1[ri[m]], p2[cols[m]]), vals[m])
+    else:
+        np.add.at(out, (p1[cols[m]], p2[ri[m]]), vals[m])
 
 
 def build_post(msa1: MultiSequence, msa2: MultiSequence,
@@ -46,10 +83,10 @@ def build_post(msa1: MultiSequence, msa2: MultiSequence,
 
     Post[c1, c2] = sum over rows s in msa1, t in msa2 of
     P(s_pos <-> t_pos) scattered through each row's pos->col map
-    (reference: src/buildpostflat.cpp:18-106; weights are 1.0 as in
-    src/mpcflat.cpp:316-326).
+    (reference: src/buildpostflat.cpp:18-106 — the reference also walks
+    sparse posteriors here; weights are 1.0 as in src/mpcflat.cpp:316-326).
     """
-    from ..native import build_post_accumulate_native
+    from ..native import build_post_accumulate_sparse_native
     cc1 = msa1.col_count() if len(msa1[0]) else 0
     cc2 = msa2.col_count()
     out = np.zeros((cc1, cc2), dtype=np.float32)
@@ -59,9 +96,10 @@ def build_post(msa1: MultiSequence, msa2: MultiSequence,
         i1 = label_to_index[s1.label]
         p1 = s1.pos_to_col()
         for s2, i2, p2 in zip(msa2, idx2, ptc2):
-            P = posts.get(i1, i2)
-            if not build_post_accumulate_native(out, P, p1, p2):
-                out[np.ix_(p1, p2)] += P
+            vals, cols, ly, transposed = posts.get_sparse(i1, i2)
+            if not build_post_accumulate_sparse_native(
+                    out, vals, cols, p1, p2, transposed):
+                _accumulate_sparse_np(out, vals, cols, p1, p2, transposed)
     return out
 
 

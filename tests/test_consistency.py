@@ -62,3 +62,68 @@ def test_consistency_padding_safe():
     for k, (x, y) in enumerate(pairs):
         assert np.all(got[x, y][lens[x]:, :] == 0)
         assert np.all(got[x, y][:, lens[y]:] == 0)
+
+
+# ---------------------------------------------------------------------------
+# Blocked sparse path (ops/sparse.py + consistency_sparse)
+# ---------------------------------------------------------------------------
+
+def _random_sparse_posts(rng, n, l, max_row_nnz=5):
+    pairs = [(x, y) for x in range(n) for y in range(x + 1, n)]
+    post = np.zeros((len(pairs), l, l), np.float32)
+    for p in range(len(pairs)):
+        for i in range(l):
+            idx = rng.choice(l, size=rng.integers(1, max_row_nnz + 1),
+                             replace=False)
+            post[p, i, idx] = rng.random(len(idx)) * 0.9 + 0.02
+    post[post < 0.01] = 0.0
+    return pairs, post
+
+
+def test_sparsify_densify_roundtrip():
+    from muscle_tpu.ops import sparse as sp
+    rng = np.random.default_rng(3)
+    pairs, post = _random_sparse_posts(rng, 3, 32)
+    vals, cols, mx = sp.sparsify(jnp.asarray(post), 8)
+    assert int(mx) <= 8
+    dense = np.asarray(sp.densify(vals, cols, 32))
+    assert np.array_equal(dense, post)
+    # host-side roundtrip agrees
+    v0, c0 = sp.sparsify_np(post[0], 8)
+    assert np.array_equal(sp.densify_np(v0, c0, 32), post[0])
+    # pattern entries stay position-exact under a different K
+    vals16, cols16, _ = sp.sparsify(jnp.asarray(post), 16)
+    assert np.array_equal(np.asarray(sp.densify(vals16, cols16, 32)), post)
+
+
+def test_consistency_sparse_matches_dense():
+    """Blocked sparse path == dense block-matmul path (2 iterations),
+    including non-divisible N and padded stores."""
+    from muscle_tpu.ops import sparse as sp
+    rng = np.random.default_rng(42)
+    n, l, k = 7, 64, 16
+    pairs, post = _random_sparse_posts(rng, n, l)
+
+    t = cons.pair_tensor_from_triu(jnp.asarray(post), pairs, n, l)
+    mask = cons.sparsity_mask(t)
+    t2 = t
+    for _ in range(2):
+        t2 = cons.consistency_iter(t2, mask, n)
+    xi = np.array([p[0] for p in pairs])
+    yi = np.array([p[1] for p in pairs])
+    dense_out = np.asarray(t2[xi, yi])
+
+    vals, cols, mx = sp.sparsify(jnp.asarray(post), k)
+    assert int(mx) <= k
+    # padded store (as all_pairs_posteriors_sparse builds): extra rows
+    # then the all-zero dump row
+    pad = 3
+    store_v = jnp.concatenate(
+        [vals, jnp.zeros((pad + 1, l, k), jnp.float32)])
+    store_c = jnp.concatenate(
+        [cols, jnp.full((pad + 1, l, k), -1, jnp.int32)])
+    out_v = cons.consistency_sparse(store_v, store_c, n, 2, seq_block=4)
+    got = np.stack([sp.densify_np(np.asarray(out_v[p]),
+                                  np.asarray(store_c[p]), l)
+                    for p in range(len(pairs))])
+    assert np.abs(got - dense_out).max() < 2e-5
