@@ -39,8 +39,22 @@ class PairAligner:
             batch_size=self.batch_size, with_mea=with_mea,
             backend=self.backend)
 
+    def sparse_posteriors(self, pairs: list[tuple[int, int]]):
+        """Host-side fixed-K sparse posteriors: (vals (P, L, K),
+        cols (P, L, K), ea (P,)). The device->host transfer is ~L/(2K)x
+        smaller than the dense path."""
+        sv, sc, ea, max_nnz = post_mod.all_pairs_posteriors_sparse(
+            self.codes, self.lens, self.pack, pairs,
+            batch_size=self.batch_size, backend=self.backend)
+        p = len(pairs)
+        return np.asarray(sv)[:p], np.asarray(sc)[:p], ea
+
     def ea(self, pairs: list[tuple[int, int]]) -> np.ndarray:
-        _, ea = self.posteriors(pairs, with_mea=True)
+        """EA scores only — no posterior leaves the device."""
+        _, ea = post_mod.all_pairs_posteriors(
+            self.codes, self.lens, self.pack, pairs,
+            batch_size=self.batch_size, with_mea=True,
+            backend=self.backend, return_post=False)
         return ea
 
     def ea_dist_matrix(self, n: int | None = None) -> np.ndarray:
@@ -51,11 +65,14 @@ class PairAligner:
     def align_pairs(self, pairs: list[tuple[int, int]]
                     ) -> list[tuple[float, str]]:
         """(EA, path) per pair — pair-HMM posterior + MEA DP + traceback
-        (reference: AlignPairFlat)."""
-        posts, ea = self.posteriors(pairs)
+        (reference: AlignPairFlat). Posteriors cross to host in the
+        sparse layout; the MEA DP runs on the host densified matrix."""
+        from ..ops.sparse import densify_np
+        vals, cols, ea = self.sparse_posteriors(pairs)
         out = []
         for k, (i, j) in enumerate(pairs):
-            p = posts[k, :self.lens[i], :self.lens[j]]
+            p = densify_np(vals[k, :self.lens[i]], cols[k, :self.lens[i]],
+                           int(self.lens[j]))
             _, path = mea_align(p)
             out.append((float(ea[k]), path))
         return out

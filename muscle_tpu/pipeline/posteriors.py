@@ -87,22 +87,28 @@ def _chunk_iter(pairs, b):
 def all_pairs_posteriors(codes: np.ndarray, lens: np.ndarray,
                          pack: ScorePack, pairs: list[tuple[int, int]],
                          batch_size: int = 32, with_mea: bool = True,
-                         device_batch_fn=None, backend: str = "auto"):
+                         device_batch_fn=None, backend: str = "auto",
+                         return_post: bool = True):
     """Compute posteriors + EA for the given (x, y) pairs (x < y).
 
     Returns (post (P, L, L) float32 numpy, ea (P,) float32 numpy) where
     L is the padded length of `codes`. `backend` picks the device
     kernel: 'pallas' (TPU) or 'scan' (pure-XLA reference path).
 
-    NOTE: this dense variant materializes every pair posterior on host;
+    return_post=False skips the dense device->host posterior transfer
+    entirely and returns (None, ea) — the right mode for EA-only
+    callers (UCLUST verification, distance matrices, PProg scoring);
+    the host link is the scarcest resource on a tunneled TPU.
+
+    NOTE: the dense return materializes every pair posterior on host;
     prefer `all_pairs_posteriors_sparse` (device-resident fixed-K
-    store) anywhere N is non-trivial — the dense D2H transfer is the
-    dominant cost on a tunneled TPU.
+    store) anywhere N is non-trivial.
     """
     n_pairs = len(pairs)
     if n_pairs == 0:
         L = codes.shape[1]
-        return np.zeros((0, L, L), np.float32), np.zeros(0, np.float32)
+        post0 = np.zeros((0, L, L), np.float32) if return_post else None
+        return post0, np.zeros(0, np.float32)
 
     if backend == "auto":
         backend = default_backend()
@@ -116,9 +122,11 @@ def all_pairs_posteriors(codes: np.ndarray, lens: np.ndarray,
     for lo, m, xi, yi in _chunk_iter(pairs, b):
         post, ea = fn(jnp.asarray(codes[xi]), jnp.asarray(codes[yi]),
                       jnp.asarray(lens[xi]), jnp.asarray(lens[yi]))
-        posts.append(np.asarray(post)[:m])
+        if return_post:
+            posts.append(np.asarray(post)[:m])
         eas.append(np.asarray(ea)[:m])
-    return np.concatenate(posts), np.concatenate(eas)
+    return (np.concatenate(posts) if return_post else None), \
+        np.concatenate(eas)
 
 
 def _pick_chunk(batch_size, n_pairs, backend, n_dev):
@@ -242,7 +250,8 @@ def all_pairs_posteriors_mega(profiles: np.ndarray, lens: np.ndarray,
                               mega, pack: ScorePack,
                               pairs: list[tuple[int, int]],
                               batch_size: int = 16, with_mea: bool = True,
-                              backend: str = "auto"):
+                              backend: str = "auto",
+                              return_post: bool = True):
     """Muscle-3D variant: posteriors from feature-profile emissions.
 
     profiles: (N, L, F) uint8 padded feature letters; transitions come
@@ -253,7 +262,8 @@ def all_pairs_posteriors_mega(profiles: np.ndarray, lens: np.ndarray,
     n_pairs = len(pairs)
     L = profiles.shape[1]
     if n_pairs == 0:
-        return np.zeros((0, L, L), np.float32), np.zeros(0, np.float32)
+        post0 = np.zeros((0, L, L), np.float32) if return_post else None
+        return post0, np.zeros(0, np.float32)
 
     if backend == "auto":
         backend = default_backend()
@@ -265,9 +275,11 @@ def all_pairs_posteriors_mega(profiles: np.ndarray, lens: np.ndarray,
         post, ea = run_chunk(jnp.asarray(profiles[xi]),
                              jnp.asarray(profiles[yi]),
                              jnp.asarray(lens[xi]), jnp.asarray(lens[yi]))
-        posts.append(np.asarray(post)[:m])
+        if return_post:
+            posts.append(np.asarray(post)[:m])
         eas.append(np.asarray(ea)[:m])
-    return np.concatenate(posts), np.concatenate(eas)
+    return (np.concatenate(posts) if return_post else None), \
+        np.concatenate(eas)
 
 
 def all_pairs_posteriors_mega_sparse(profiles: np.ndarray,

@@ -57,6 +57,16 @@ def align_msas_by_path(msa1: MultiSequence, msa2: MultiSequence,
 
 
 class PProg:
+    """TPU scheduling note: MSA-MSA *scores* only need the mean EA of
+    the sampled sequence pairs — a device batch whose host readback is
+    a handful of floats — while the alignment *path* (column-posterior
+    build + MEA traceback) is only needed for pairs that actually join.
+    Scoring therefore batches whole score-rounds into single EA-only
+    device passes (the reference instead computes every path up front,
+    src/pprog.cpp:230-256); the path is reconstructed lazily at join
+    time by replaying the pair sampling from a cloned RNG snapshot, so
+    samples — and results — match the eager order exactly."""
+
     def __init__(self, aligner: PairAligner,
                  label_to_global_index: dict[str, int],
                  target_pair_count: int = DEFAULT_TARGET_PAIR_COUNT,
@@ -68,33 +78,70 @@ class PProg:
         self.target = target_pair_count
         self.rng = rng or MwcRng(1)
 
-    # -- profile-profile alignment (reference: AlignMSAsFlat) -----------
-    def align_msas(self, msa1: MultiSequence, msa2: MultiSequence
-                   ) -> tuple[float, str]:
+    def _gpairs(self, msa1, msa2, sampled):
+        return [(self.l2g[msa1[i].label], self.l2g[msa2[j].label])
+                for (i, j) in sampled]
+
+    # -- batched scoring (reference: the EA part of AlignMSAsFlat) ------
+    def score_round(self, items, node_msas):
+        """items: [(i1, i2)] node-index pairs, scored in order. Returns
+        {(i1, i2): (avg_ea, rng_snapshot)} after ONE EA-only device
+        pass over all sampled sequence pairs of the round."""
+        snaps = {}
+        slices = []
+        all_pairs: list[tuple[int, int]] = []
+        for (i1, i2) in items:
+            m1, m2 = node_msas[i1], node_msas[i2]
+            snap = self.rng.clone()
+            sampled = get_pairs(len(m1), len(m2), self.target, self.rng)
+            gp = self._gpairs(m1, m2, sampled)
+            slices.append((len(all_pairs), len(gp)))
+            all_pairs.extend(gp)
+            snaps[(i1, i2)] = snap
+        eas = self.aligner.ea(all_pairs) if all_pairs else np.zeros(0)
+        out = {}
+        for (i1, i2), (lo, cnt) in zip(items, slices):
+            avg = float(np.mean(eas[lo:lo + cnt])) if cnt else 0.0
+            out[(i1, i2)] = (avg, snaps[(i1, i2)])
+        return out
+
+    # -- profile-profile path (reference: AlignMSAsFlat) ----------------
+    def path_msas(self, msa1: MultiSequence, msa2: MultiSequence,
+                  rng: MwcRng | None = None) -> tuple[float, str]:
+        """Column-posterior build + MEA path for one MSA pair. `rng`
+        (default: the shared stream) drives the pair sampling — pass a
+        clone()d snapshot to replay a score_round sampling."""
+        from ..native import build_post_accumulate_sparse_native
+        from .progressive import _accumulate_sparse_np
+        rng = rng if rng is not None else self.rng
         n1, n2 = len(msa1), len(msa2)
         cc1, cc2 = msa1.col_count(), msa2.col_count()
-        sampled = get_pairs(n1, n2, self.target, self.rng)
-
-        gpairs = []
-        flip = []
-        for (i, j) in sampled:
-            gi = self.l2g[msa1[i].label]
-            gj = self.l2g[msa2[j].label]
-            # aligner pairs are unordered device batches; orient so the
-            # stored posterior maps (row-of-msa1, row-of-msa2)
-            gpairs.append((gi, gj))
-        posts, eas = self.aligner.posteriors(gpairs)
+        sampled = get_pairs(n1, n2, self.target, rng)
+        gpairs = self._gpairs(msa1, msa2, sampled)
+        vals, cols, eas = self.aligner.sparse_posteriors(gpairs)
         avg_ea = float(np.mean(eas)) if len(eas) else 0.0
 
         col_post = np.zeros((cc1, cc2), dtype=np.float32)
+        ptc1 = {i: msa1[i].pos_to_col() for i in
+                {i for i, _ in sampled}}
+        ptc2 = {j: msa2[j].pos_to_col() for j in
+                {j for _, j in sampled}}
         for k, (i, j) in enumerate(sampled):
             gi, gj = gpairs[k]
-            P = posts[k, :self.aligner.lens[gi], :self.aligner.lens[gj]]
-            p1 = msa1[i].pos_to_col()
-            p2 = msa2[j].pos_to_col()
-            col_post[np.ix_(p1, p2)] += P
+            v = vals[k, :self.aligner.lens[gi]]
+            c = cols[k, :self.aligner.lens[gi]]
+            if not build_post_accumulate_sparse_native(
+                    col_post, v, c, ptc1[i], ptc2[j], False):
+                _accumulate_sparse_np(col_post, v, c, ptc1[i], ptc2[j],
+                                      False)
         _, path = mea_align(col_post)
         return avg_ea, path
+
+    def align_msas(self, msa1: MultiSequence, msa2: MultiSequence
+                   ) -> tuple[float, str]:
+        """Eager score+path (compat surface; consumes the shared rng
+        exactly once, like the reference's AlignMSAsFlat)."""
+        return self.path_msas(msa1, msa2)
 
     # -- greedy best-pair joins (reference: PProg::Run) ------------------
     def run(self, msas: list[MultiSequence]) -> MultiSequence:
@@ -104,15 +151,13 @@ class PProg:
         node_msas: list[MultiSequence | None] = list(msas)
         node_count = 2 * n - 1
         score = np.full((node_count, node_count), -np.inf, dtype=np.float32)
-        paths: dict[tuple[int, int], str] = {}
+        snaps: dict[tuple[int, int], MwcRng] = {}
         pending = list(range(n))
 
-        for i in range(n):
-            for j in range(i + 1, n):
-                s, p = self.align_msas(node_msas[i], node_msas[j])
-                score[i, j] = score[j, i] = s
-                paths[(i, j)] = p
-                paths[(j, i)] = invert_path(p)
+        items = [(i, j) for i in range(n) for j in range(i + 1, n)]
+        for (i, j), (s, snap) in self.score_round(items, node_msas).items():
+            score[i, j] = score[j, i] = s
+            snaps[(i, j)] = snap
 
         for join in range(n - 1):
             # best pending pair, first-found on ties with strict >
@@ -126,16 +171,18 @@ class PProg:
                         best = (pending[a], pending[b])
             i1, i2 = best
             new_index = n + join
-            joined = align_msas_by_path(node_msas[i1], node_msas[i2],
-                                        paths[(i1, i2)])
+            key = (i1, i2) if (i1, i2) in snaps else (i2, i1)
+            m1, m2 = node_msas[key[0]], node_msas[key[1]]
+            _, path = self.path_msas(m1, m2, snaps[key].clone())
+            joined = align_msas_by_path(m1, m2, path)
             node_msas.append(joined)
             pending = [p for p in pending if p not in (i1, i2)]
-            # align the new node to remaining pending nodes
-            for p in pending:
-                s, pth = self.align_msas(joined, node_msas[p])
-                score[new_index, p] = score[p, new_index] = s
-                paths[(new_index, p)] = pth
-                paths[(p, new_index)] = invert_path(pth)
+            # score the new node against remaining pending nodes
+            items = [(new_index, p) for p in pending]
+            for (a, b), (s, snap) in self.score_round(
+                    items, node_msas).items():
+                score[a, b] = score[b, a] = s
+                snaps[(a, b)] = snap
             pending.append(new_index)
 
         assert len(pending) == 1
@@ -149,7 +196,7 @@ class PProg:
         for k in range(len(idx1)):
             m1 = node_msas[idx1[k]]
             m2 = node_msas[idx2[k]]
-            _, path = self.align_msas(m1, m2)
+            _, path = self.path_msas(m1, m2)
             node_msas.append(align_msas_by_path(m1, m2, path))
             node_msas[idx1[k]] = None
             node_msas[idx2[k]] = None

@@ -167,4 +167,17 @@ class MegaPProg(PProg):
                     self._profiles, self._lens, self.mega, self.pack,
                     pairs, with_mea=with_mea)
 
+            def ea(inner, pairs):
+                _, eas = post_mod.all_pairs_posteriors_mega(
+                    self._profiles, self._lens, self.mega, self.pack,
+                    pairs, return_post=False)
+                return eas
+
+            def sparse_posteriors(inner, pairs):
+                sv, sc, eas, _ = post_mod.all_pairs_posteriors_mega_sparse(
+                    self._profiles, self._lens, self.mega, self.pack,
+                    pairs)
+                p = len(pairs)
+                return np.asarray(sv)[:p], np.asarray(sc)[:p], eas
+
         super().__init__(_A(), {s.label: i for i, s in enumerate(seqs)}, **kw)

@@ -85,11 +85,26 @@ class KmerIndex:
 
 class UClust:
     """Greedy clustering storing member->centroid paths
-    (reference: src/uclust.cpp)."""
+    (reference: src/uclust.cpp).
 
-    def __init__(self, aligner: PairAligner, alpha: str):
+    Queries are processed in *waves* to amortize device round-trip
+    latency: a wave's candidate sets are speculated from the current
+    index, all (query, candidate) EA verifications run as one device
+    batch, then queries finalize in order on host. A query whose
+    re-searched candidate list (it may now include centroids created
+    earlier in the same wave) contains unverified candidates is
+    deferred to the head of the next wave — so every accept decision is
+    made against exactly the index state the reference's serial loop
+    would see (first candidate in index order with EA >= minEA).
+    Member->centroid paths are computed afterwards in one batched
+    sparse-posterior pass instead of one device call per member.
+    """
+
+    def __init__(self, aligner: PairAligner, alpha: str,
+                 wave_size: int = 256):
         self.aligner = aligner
         self.alpha = alpha
+        self.wave_size = wave_size
 
     def run(self, seqs: MultiSequence, min_ea: float):
         n = len(seqs)
@@ -98,29 +113,61 @@ class UClust:
         lengths = np.array([len(s) for s in seqs])
         # descending length, ties by input order (reference:
         # GetLengthOrder yields descending; stable on ties)
-        order = np.argsort(-lengths, kind="stable")
+        order = [int(i) for i in np.argsort(-lengths, kind="stable")]
 
         centroid_indexes: list[int] = []
         seq_to_centroid = np.full(n, -1, dtype=np.int64)
         seq_to_path: list[str] = [""] * n
+        ea_cache: dict[tuple[int, int], float] = {}
 
-        for si in order:
-            si = int(si)
-            cands = [c for c, _ in index.search(codes[si])][:MAX_REJECTS]
-            rep = -1
-            if cands:
-                eas = self.aligner.ea([(si, c) for c in cands])
-                for c, ea in zip(cands, eas):
-                    if ea >= min_ea:
+        queue = order
+        while queue:
+            wave, queue = queue[:self.wave_size], queue[self.wave_size:]
+            # speculate candidates from the current index; batch-verify
+            # every unknown (query, candidate) EA in one device pass
+            spec = {si: [c for c, _ in index.search(codes[si])][:MAX_REJECTS]
+                    for si in wave}
+            need = [(si, c) for si in wave for c in spec[si]
+                    if (si, c) not in ea_cache]
+            if need:
+                for (si, c), ea in zip(need, self.aligner.ea(need)):
+                    ea_cache[(si, c)] = float(ea)
+
+            added_in_wave = False
+            deferred: list[int] = []
+            for si in wave:
+                if added_in_wave:
+                    # index changed during this wave: re-search; any
+                    # unverified candidate defers the query
+                    cands = [c for c, _ in
+                             index.search(codes[si])][:MAX_REJECTS]
+                else:
+                    cands = spec[si]
+                if any((si, c) not in ea_cache for c in cands):
+                    deferred.append(si)
+                    continue
+                rep = -1
+                for c in cands:
+                    if ea_cache[(si, c)] >= min_ea:
                         rep = c
                         break
-            if rep < 0:
-                centroid_indexes.append(si)
-                index.add(codes[si], si)
-                seq_to_centroid[si] = si
-            else:
-                _, path = self.aligner.align_pair(si, rep)
-                seq_to_centroid[si] = rep
+                if rep < 0:
+                    centroid_indexes.append(si)
+                    index.add(codes[si], si)
+                    seq_to_centroid[si] = si
+                    added_in_wave = True
+                else:
+                    seq_to_centroid[si] = rep
+            queue = deferred + queue
+
+        # batched member->centroid paths (sparse posterior transfer)
+        members = [si for si in range(n)
+                   if seq_to_centroid[si] >= 0 and seq_to_centroid[si] != si]
+        for lo in range(0, len(members), self.wave_size):
+            chunk = members[lo:lo + self.wave_size]
+            mpairs = [(si, int(seq_to_centroid[si])) for si in chunk]
+            for si, (_, path) in zip(chunk,
+                                     self.aligner.align_pairs(mpairs)):
                 seq_to_path[si] = path
         self.centroid_indexes = centroid_indexes
         self.seq_to_centroid = seq_to_centroid
@@ -136,9 +183,11 @@ class EACluster:
     are verified as one device batch.
     """
 
-    def __init__(self, aligner: PairAligner, alpha: str):
+    def __init__(self, aligner: PairAligner, alpha: str,
+                 wave_size: int = 256):
         self.aligner = aligner
         self.alpha = alpha
+        self.wave_size = wave_size
 
     def run(self, seq_indexes: list[int], all_seqs: MultiSequence,
             min_ea: float) -> list[list[int]]:
@@ -147,21 +196,39 @@ class EACluster:
                  for i in seq_indexes}
         clusters: list[list[int]] = []
         centroid_of: dict[int, int] = {}   # seq index -> cluster index
+        ea_cache: dict[tuple[int, int], float] = {}
 
-        for si in seq_indexes:
-            cands = [c for c, _ in index.search(codes[si])]
-            best_ci = -1
-            if cands:
-                eas = self.aligner.ea([(si, c) for c in cands])
+        queue = list(seq_indexes)
+        while queue:
+            wave, queue = queue[:self.wave_size], queue[self.wave_size:]
+            spec = {si: [c for c, _ in index.search(codes[si])]
+                    for si in wave}
+            need = [(si, c) for si in wave for c in spec[si]
+                    if (si, c) not in ea_cache]
+            if need:
+                for (si, c), ea in zip(need, self.aligner.ea(need)):
+                    ea_cache[(si, c)] = float(ea)
+
+            added_in_wave = False
+            deferred: list[int] = []
+            for si in wave:
+                cands = ([c for c, _ in index.search(codes[si])]
+                         if added_in_wave else spec[si])
+                if any((si, c) not in ea_cache for c in cands):
+                    deferred.append(si)
+                    continue
+                best_ci = -1
                 best_ea = min_ea
-                for c, ea in zip(cands, eas):
-                    if ea > best_ea:
-                        best_ea = float(ea)
+                for c in cands:
+                    if ea_cache[(si, c)] > best_ea:
+                        best_ea = ea_cache[(si, c)]
                         best_ci = centroid_of[c]
-            if best_ci < 0:
-                centroid_of[si] = len(clusters)
-                clusters.append([si])
-                index.add(codes[si], si)
-            else:
-                clusters[best_ci].append(si)
+                if best_ci < 0:
+                    centroid_of[si] = len(clusters)
+                    clusters.append([si])
+                    index.add(codes[si], si)
+                    added_in_wave = True
+                else:
+                    clusters[best_ci].append(si)
+            queue = deferred + queue
         return clusters

@@ -55,6 +55,14 @@ class MwcRng:
         x[4] = (s >> 32) & _M32
         x[0] = s & _M32
 
+    def clone(self) -> "MwcRng":
+        """Independent copy at the current stream position (used to
+        replay a sampling sequence lazily, e.g. PProg path recompute)."""
+        c = MwcRng.__new__(MwcRng)
+        c._slcg_state = self._slcg_state
+        c._x = list(self._x)
+        return c
+
     def randu32(self) -> int:
         self._increment()
         return self._x[0]
