@@ -114,19 +114,37 @@ def all_pairs_posteriors(codes: np.ndarray, lens: np.ndarray,
         backend = default_backend()
     import jax
     n_dev = len(jax.devices())
+    b = _pick_chunk(batch_size, n_pairs, backend, n_dev)
+
+    if not return_post:
+        # EA-only: length-bucketed, nothing but scores leaves the device
+        buckets = _bucketize(pairs, lens, codes.shape[1]) or \
+            [(codes.shape[1], list(range(n_pairs)))]
+        ea_out = np.zeros(n_pairs, np.float32)
+        for lb, idxs in buckets:
+            fn = _make_batch_fn(lb, pack, with_mea, backend,
+                                device_batch_fn, n_dev)
+            for lo in range(0, len(idxs), b):
+                ch = idxs[lo:lo + b]
+                full = ch + [ch[0]] * (b - len(ch))
+                xi = np.array([pairs[t][0] for t in full])
+                yi = np.array([pairs[t][1] for t in full])
+                _, ea = fn(jnp.asarray(codes[xi, :lb]),
+                           jnp.asarray(codes[yi, :lb]),
+                           jnp.asarray(lens[xi]), jnp.asarray(lens[yi]))
+                ea_out[np.array(ch)] = np.asarray(ea)[:len(ch)]
+        return None, ea_out
+
     fn = _make_batch_fn(codes.shape[1], pack, with_mea, backend,
                         device_batch_fn, n_dev)
-    b = _pick_chunk(batch_size, n_pairs, backend, n_dev)
     posts = []
     eas = []
     for lo, m, xi, yi in _chunk_iter(pairs, b):
         post, ea = fn(jnp.asarray(codes[xi]), jnp.asarray(codes[yi]),
                       jnp.asarray(lens[xi]), jnp.asarray(lens[yi]))
-        if return_post:
-            posts.append(np.asarray(post)[:m])
+        posts.append(np.asarray(post)[:m])
         eas.append(np.asarray(ea)[:m])
-    return (np.concatenate(posts) if return_post else None), \
-        np.concatenate(eas)
+    return np.concatenate(posts), np.concatenate(eas)
 
 
 def _pick_chunk(batch_size, n_pairs, backend, n_dev):
@@ -138,36 +156,90 @@ def _pick_chunk(batch_size, n_pairs, backend, n_dev):
     return b
 
 
-def _sparse_store_loop(fn, codes_or_profiles, lens, pairs, b, k, l,
-                       chunk_args_fn):
-    """Shared device loop: run batches, sparsify on device, accumulate
-    into a device-resident (Ppad+1, L, K) store. Returns
-    (vals_dev, cols_dev, ea_np, max_nnz_int)."""
+# Length-bucket ladder (SURVEY Phase 2): pairs are grouped by
+# round-up(max(Lx, Ly)) into these padded lengths so short pairs stop
+# paying the family-max lattice. A small fixed ladder keeps the XLA/
+# Pallas compile cache bounded (one kernel per ladder rung ever).
+BUCKET_LADDER = (128, 256, 384, 512, 768, 1024, 1536, 2048, 3072, 4096,
+                 6144, 8192, 12288, 16384, 24576)
+
+
+def _bucket_of(maxlen: int, cap: int) -> int:
+    for b in BUCKET_LADDER:
+        if b >= maxlen:
+            return min(b, cap)
+    return cap
+
+
+def _bucketize(pairs, lens, cap: int, min_saving: float = 0.25):
+    """Group pair indices by length bucket. Returns [(Lb, idx_list)] or
+    None when bucketing saves < min_saving of total DP cells (not worth
+    extra compilations)."""
+    if len(pairs) <= 8:
+        return None
+    maxl = np.maximum(lens[[p[0] for p in pairs]],
+                      lens[[p[1] for p in pairs]])
+    buckets: dict[int, list[int]] = {}
+    for k, ml in enumerate(maxl):
+        buckets.setdefault(_bucket_of(int(ml), cap), []).append(k)
+    if len(buckets) == 1:
+        return None
+    cells = sum(lb * lb * len(ix) for lb, ix in buckets.items())
+    if cells > (1.0 - min_saving) * cap * cap * len(pairs):
+        return None
+    return sorted(buckets.items())
+
+
+def _sparse_store_loop(make_fn, chunk_args_fn, pairs, lens, b, k,
+                       l_full, bucket=True):
+    """Shared device loop: run batches (length-bucketed), sparsify on
+    device, scatter into a device-resident (P+1, L, K) store whose last
+    row is the all-zero dump slot. Returns
+    (vals_dev, cols_dev, ea_np, max_nnz_int).
+
+    make_fn(Lb) builds the device batch fn for bucket length Lb;
+    chunk_args_fn(xi, yi, Lb) slices/pads the encoded inputs.
+    """
     import jax
     from ..ops import sparse as sp
 
     n_pairs = len(pairs)
-    p_pad = round_up(n_pairs, b)
-    store_v = jnp.zeros((p_pad + 1, l, k), jnp.float32)
-    store_c = jnp.full((p_pad + 1, l, k), -1, jnp.int32)
-    store_ea = jnp.zeros((p_pad,), jnp.float32)
+    store_v = jnp.zeros((n_pairs + 1, l_full, k), jnp.float32)
+    store_c = jnp.full((n_pairs + 1, l_full, k), -1, jnp.int32)
+    store_ea = jnp.zeros((n_pairs,), jnp.float32)
     max_nnz = jnp.zeros((), jnp.int32)
 
     @partial(jax.jit, donate_argnames=("sv", "sc", "se", "mx"),
              static_argnames=("kk",))
-    def absorb(sv, sc, se, mx, post, ea, lo, kk):
+    def absorb(sv, sc, se, mx, post, ea, idx, kk):
         vals, cols, nnz = sp.sparsify(post, kk)
-        sv = jax.lax.dynamic_update_slice(sv, vals, (lo, 0, 0))
-        sc = jax.lax.dynamic_update_slice(sc, cols, (lo, 0, 0))
-        se = jax.lax.dynamic_update_slice(se, ea, (lo,))
+        lb = post.shape[1]
+        if lb < l_full:
+            vals = jnp.pad(vals, ((0, 0), (0, l_full - lb), (0, 0)))
+            cols = jnp.pad(cols, ((0, 0), (0, l_full - lb), (0, 0)),
+                           constant_values=-1)
+        # duplicate idx entries (final-chunk padding repeats a real
+        # pair) write identical data, so scatter order is irrelevant
+        sv = sv.at[idx].set(vals)
+        sc = sc.at[idx].set(cols)
+        se = se.at[idx].set(ea)
         return sv, sc, se, jnp.maximum(mx, nnz)
 
-    for lo, m, xi, yi in _chunk_iter(pairs, b):
-        post, ea = fn(*chunk_args_fn(xi, yi))
-        store_v, store_c, store_ea, max_nnz = absorb(
-            store_v, store_c, store_ea, max_nnz, post, ea,
-            jnp.int32(lo), kk=k)
-    ea_np = np.asarray(store_ea)[:n_pairs]
+    buckets = _bucketize(pairs, lens, l_full) if bucket else None
+    if buckets is None:
+        buckets = [(l_full, list(range(n_pairs)))]
+    for lb, idxs in buckets:
+        fn = make_fn(lb)
+        for lo in range(0, len(idxs), b):
+            ch = idxs[lo:lo + b]
+            full = ch + [ch[0]] * (b - len(ch))
+            xi = np.array([pairs[t][0] for t in full])
+            yi = np.array([pairs[t][1] for t in full])
+            post, ea = fn(*chunk_args_fn(xi, yi, lb))
+            store_v, store_c, store_ea, max_nnz = absorb(
+                store_v, store_c, store_ea, max_nnz, post, ea,
+                jnp.asarray(np.array(full, np.int32)), kk=k)
+    ea_np = np.asarray(store_ea)
     return store_v, store_c, ea_np, int(max_nnz)
 
 
@@ -176,30 +248,32 @@ def all_pairs_posteriors_sparse(codes: np.ndarray, lens: np.ndarray,
                                 pairs: list[tuple[int, int]],
                                 batch_size: int = 32, k: int = 32,
                                 device_batch_fn=None,
-                                backend: str = "auto"):
+                                backend: str = "auto",
+                                bucket: bool = True):
     """Device-resident sparse variant of all_pairs_posteriors.
 
-    Returns (vals (Ppad+1, L, K) device, cols device, ea (P,) numpy,
+    Returns (vals (P+1, L, K) device, cols device, ea (P,) numpy,
     max_nnz). The store's trailing row is the all-zero dump slot the
-    blocked consistency expects; rows [P, Ppad) are chunk padding.
-    max_nnz > K signals (rare) truncation of rows with more than K
-    entries >= 0.01 — callers should log it.
+    blocked consistency expects. max_nnz > K signals (rare) truncation
+    of rows with more than K entries >= 0.01 — callers should log it.
     """
     if backend == "auto":
         backend = default_backend()
     import jax
     n_dev = len(jax.devices())
-    fn = _make_batch_fn(codes.shape[1], pack, True, backend,
-                        device_batch_fn, n_dev)
     b = _pick_chunk(batch_size, len(pairs), backend, n_dev)
     cj = jnp.asarray(codes)
     lj = jnp.asarray(lens)
 
-    def chunk_args(xi, yi):
-        return cj[xi], cj[yi], lj[xi], lj[yi]
+    def make_fn(lb):
+        return _make_batch_fn(lb, pack, True, backend, device_batch_fn,
+                              n_dev)
 
-    return _sparse_store_loop(fn, codes, lens, pairs, b, k,
-                              codes.shape[1], chunk_args)
+    def chunk_args(xi, yi, lb):
+        return cj[xi, :lb], cj[yi, :lb], lj[xi], lj[yi]
+
+    return _sparse_store_loop(make_fn, chunk_args, pairs, lens, b, k,
+                              codes.shape[1], bucket=bucket)
 
 
 def ea_dist_matrix(n: int, pairs: list[tuple[int, int]], ea: np.ndarray
@@ -287,7 +361,8 @@ def all_pairs_posteriors_mega_sparse(profiles: np.ndarray,
                                      pack: ScorePack,
                                      pairs: list[tuple[int, int]],
                                      batch_size: int = 16, k: int = 32,
-                                     backend: str = "auto"):
+                                     backend: str = "auto",
+                                     bucket: bool = True):
     """Sparse device-resident variant of all_pairs_posteriors_mega."""
     if backend == "auto":
         backend = default_backend()
@@ -296,8 +371,11 @@ def all_pairs_posteriors_mega_sparse(profiles: np.ndarray,
     pj = jnp.asarray(profiles)
     lj = jnp.asarray(lens)
 
-    def chunk_args(xi, yi):
-        return pj[xi], pj[yi], lj[xi], lj[yi]
+    def make_fn(lb):
+        return run_chunk
 
-    return _sparse_store_loop(run_chunk, profiles, lens, pairs, b, k,
-                              profiles.shape[1], chunk_args)
+    def chunk_args(xi, yi, lb):
+        return pj[xi, :lb], pj[yi, :lb], lj[xi], lj[yi]
+
+    return _sparse_store_loop(make_fn, chunk_args, pairs, lens, b, k,
+                              profiles.shape[1], bucket=bucket)

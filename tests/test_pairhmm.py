@@ -73,3 +73,35 @@ def test_posterior_row_sums_le_one(pack):
     post, _, lx, ly = _run_batch(pack, pairs, 32, 32)
     rows = post[0, :lx[0], :ly[0]].sum(axis=1)
     assert np.all(rows <= 1.0 + 1e-3)
+
+
+def test_sparse_posteriors_bucketed_matches_unbucketed():
+    """Length-bucketed sparse pair stage == single-bucket results."""
+    import numpy as np
+    from muscle_tpu.hmm.params import HMMParams
+    from muscle_tpu.pipeline import posteriors as post_mod
+    from muscle_tpu.sequence import MultiSequence, Sequence
+
+    rng = np.random.default_rng(11)
+    aas = "ACDEFGHIKLMNPQRSTVWY"
+    seqs = []
+    for i, ln in enumerate([40, 50, 120, 130, 250, 260, 270, 60, 245]):
+        seqs.append(Sequence(f"s{i}", "".join(
+            aas[j] for j in rng.integers(0, 20, ln))))
+    ms = MultiSequence(seqs)
+    pack = HMMParams.from_defaults().to_scores()
+    codes, lens = post_mod.encode_batch(ms, "amino", pad_to=384)
+    pairs = [(x, y) for x in range(len(seqs)) for y in range(x + 1, len(seqs))]
+    assert post_mod._bucketize(pairs, lens, 384) is not None
+
+    sv1, sc1, ea1, m1 = post_mod.all_pairs_posteriors_sparse(
+        codes, lens, pack, pairs, bucket=True)
+    sv0, sc0, ea0, m0 = post_mod.all_pairs_posteriors_sparse(
+        codes, lens, pack, pairs, bucket=False)
+    assert np.array_equal(np.asarray(sv1), np.asarray(sv0))
+    assert np.array_equal(np.asarray(sc1), np.asarray(sc0))
+    assert np.allclose(ea1, ea0)
+    # EA-only bucketed path agrees too
+    _, ea2 = post_mod.all_pairs_posteriors(
+        codes, lens, pack, pairs, return_post=False)
+    assert np.allclose(ea2, ea0)
