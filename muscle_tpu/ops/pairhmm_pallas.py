@@ -612,13 +612,24 @@ def mea_scores_pallas(post_t, tile_p=8):
     return out[:, 0]
 
 
-def _pick_tile_p(b: int) -> int:
-    """Largest tile (<= 64) dividing the batch; 64 measured best on
-    TPU (diminishing past it), 8 is the floor posteriors pads to."""
+_VMEM_BUDGET = 14 * 2 ** 20   # bytes of VMEM the kernel may plan for
+
+
+def _pick_tile_p(b: int, ly: int | None = None, kp: int = 0) -> int:
+    """Largest tile (<= 64) dividing the batch that fits the VMEM
+    budget; 64 measured best on TPU at L<=1024, but VMEM scales as
+    tile_p * (10 scratch rows + kp one-hot sublanes + pipeline
+    buffers) * ly — tile_p=64 fails Mosaic compilation at L=2048
+    (ADVICE r1), so longer alignments get smaller tiles."""
     for t in (64, 32, 16, 8):
-        if b % t == 0:
+        if b % t != 0:
+            continue
+        if ly is None:
             return t
-    return 1
+        need = t * 4 * ((10 + kp + 4) * ly + 512)
+        if need <= _VMEM_BUDGET:
+            return t
+    return 8 if b % 8 == 0 else 1
 
 
 @partial(jax.jit, static_argnames=("with_mea", "tile_p", "scan_k"))
@@ -631,7 +642,7 @@ def batch_posteriors_pallas_emissions(e, e_rev, ins_x, ins_y, ins_xr,
     shared by the letter pair-HMM and the Muscle-3D profile HMM."""
     b, bx, by = e.shape
     if tile_p is None:
-        tile_p = _pick_tile_p(b)
+        tile_p = _pick_tile_p(b, by)
     ii = jnp.arange(bx)
     jj = jnp.arange(by)
     lymask = (jj[None, :] == (lyb[:, None] - 1)).astype(jnp.float32)
@@ -712,8 +723,9 @@ def batch_posteriors_pallas(xb, yb, lxb, lyb, match, insert, start, tv,
     """
     b, bx = xb.shape
     by = yb.shape[1]
+    kk0 = match.shape[0]
     if tile_p is None:
-        tile_p = _pick_tile_p(b)
+        tile_p = _pick_tile_p(b, by, _round_up(kk0, 8))
     # reversed sequences: xr[u] = x[lx-1-u] = roll(flip(x), lx - Bx)
     # (roll-of-flip lowers to two slices; per-element gathers are slow)
     xr = jax.vmap(lambda x, lx: jnp.roll(x[::-1], lx - bx))(xb, lxb)
