@@ -141,20 +141,17 @@ def _block_maps(n: int, nb: int, dump: int):
     return pid, flag
 
 
-@partial(jax.jit, static_argnames=("bx", "by", "t", "l", "precision"),
-         donate_argnames=("out_vals",))
-def _consistency_block(vals, cols, out_vals, pid_rows, flag_rows,
-                       pid_cols, flag_cols, pid_out, inv_n,
-                       bx: int, by: int, t: int, l: int, precision: str):
+def _block_core(vals, cols, pid_rows, flag_rows, pid_cols, flag_cols,
+                pid_out, inv_n, bx: int, by: int, t: int, l: int,
+                precision: str):
     """One (X-block, Y-block) of the blocked M @ M.
 
     vals/cols: (P+1, L, K) store (dump row last). pid_rows/flag_rows:
     (bx, nb) Z-panel maps for the X rows; pid_cols/flag_cols: (nb, by);
-    pid_out: (bx, by) output pair ids (dump for invalid). Returns
-    out_vals with the block's pairs updated.
+    pid_out: (bx, by) output pair ids (dump for invalid). Returns the
+    block's new pattern values (bx*by, L, K).
     """
     nb = pid_rows.shape[1]
-    k = vals.shape[2]
     eye = jnp.eye(l, dtype=jnp.float32)
     ri = jnp.arange(l)[None, :, None]
 
@@ -192,18 +189,73 @@ def _consistency_block(vals, cols, out_vals, pid_rows, flag_rows,
     cxy = cols[po]
     g = jnp.take_along_axis(accp, jnp.where(cxy >= 0, cxy, 0),
                             axis=-1) * inv_n
-    newv = jnp.where(cxy >= 0, g, 0.0)
-    return out_vals.at[po].set(newv)
+    return jnp.where(cxy >= 0, g, 0.0)
+
+
+@partial(jax.jit, static_argnames=("bx", "by", "t", "l", "precision"),
+         donate_argnames=("out_vals",))
+def _blocks_wave(vals, cols, out_vals, prs, frs, pcs, fcs, pos, inv_n,
+                 bx: int, by: int, t: int, l: int, precision: str):
+    """A wave of independent blocks, vmapped into ONE dispatch (the
+    block axis is also the mesh-sharding axis in the multi-chip path)."""
+    k = vals.shape[2]
+    newv = jax.vmap(
+        lambda pr, fr, pc, fc, po: _block_core(
+            vals, cols, pr, fr, pc, fc, po, inv_n,
+            bx=bx, by=by, t=t, l=l, precision=precision)
+    )(prs, frs, pcs, fcs, pos)
+    # blocks write disjoint pair ids (dump rows excepted, whose value
+    # is irrelevant), so scatter order does not matter
+    return out_vals.at[pos.reshape(-1)].set(newv.reshape(-1, l, k))
+
+
+def _wave_plan(n, blk, dump):
+    """Host-side block descriptors for one iteration: stacked
+    (NB, bx, nb) row maps, (NB, nb, by) col maps, (NB, bx, by) output
+    pair ids over the upper-triangular block grid."""
+    nb = -(-n // blk) * blk
+    pid, flag = _block_maps(n, nb, dump)
+    prs, frs, pcs, fcs, pos = [], [], [], [], []
+    nblk = nb // blk
+    for bi in range(nblk):
+        rs = slice(bi * blk, (bi + 1) * blk)
+        for bj in range(bi, nblk):
+            cs = slice(bj * blk, (bj + 1) * blk)
+            po = np.full((blk, blk), dump, np.int32)
+            for a in range(rs.start, min(rs.stop, n)):
+                for b in range(max(cs.start, a + 1), min(cs.stop, n)):
+                    po[a - rs.start, b - cs.start] = pair_index(a, b, n)
+            prs.append(pid[rs])
+            frs.append(flag[rs])
+            pcs.append(pid[:, cs])
+            fcs.append(flag[:, cs])
+            pos.append(po)
+    stack = lambda x: np.stack(x).astype(np.int32)
+    return stack(prs), stack(frs), stack(pcs), stack(fcs), stack(pos)
+
+
+def _dummy_block(dump, blk, nb):
+    """All-dump block descriptor (pads waves to a device multiple)."""
+    return (np.full((blk, nb), dump, np.int32),
+            np.zeros((blk, nb), np.int32),
+            np.full((nb, blk), dump, np.int32),
+            np.zeros((nb, blk), np.int32),
+            np.full((blk, blk), dump, np.int32))
 
 
 def consistency_sparse(vals, cols, n: int, iters: int, *,
-                       seq_block: int = 16, precision: str = "highest"):
+                       seq_block: int = 16, precision: str = "highest",
+                       wave: int | None = None, mesh=None):
     """Run `iters` consistency iterations over the device sparse store.
 
     vals/cols: (>= P+1, L, K) device arrays in canonical pair order;
     rows beyond P = n*(n-1)/2 are padding and the LAST row must be
     all-zero (the dump slot). Returns the updated vals store
     (cols/pattern unchanged — reference semantics).
+
+    Blocks are dispatched in vmapped waves; with `mesh` (1-D device
+    mesh) the wave's block axis is sharded data-parallel and XLA
+    inserts the store all-gather / output merge over ICI.
     """
     p1, l, k = vals.shape
     n_pairs = n * (n - 1) // 2
@@ -211,28 +263,52 @@ def consistency_sparse(vals, cols, n: int, iters: int, *,
     assert n_pairs <= dump
     blk = min(seq_block, max(1, n))
     nb = -(-n // blk) * blk
-    t = blk
-    pid, flag = _block_maps(n, nb, dump)
-    pid_d = jnp.asarray(pid)
-    flag_d = jnp.asarray(flag.astype(np.int32))
+    prs, frs, pcs, fcs, pos = _wave_plan(n, blk, dump)
+    nblk_total = prs.shape[0]
+    if wave is None:
+        # bound the wave's newv scratch (~wave * blk^2 * L * K floats)
+        wave = max(1, min(nblk_total,
+                          (1 << 28) // max(1, blk * blk * l * k * 4)))
+    n_dev = 1
+    if mesh is not None:
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        wave = -(-wave // n_dev) * n_dev
     inv_n = jnp.float32(1.0 / n)
-    nblk = nb // blk
+
+    if mesh is None:
+        def run(*args):
+            return _blocks_wave(*args, bx=blk, by=blk, t=blk, l=l,
+                                precision=precision)
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        axis = mesh.axis_names[0]
+        blk_sh = NamedSharding(mesh, P(axis))
+        rep = NamedSharding(mesh, P())
+        base = _blocks_wave.__wrapped__
+
+        def _fixed(vals_, cols_, out_, prs_, frs_, pcs_, fcs_, pos_,
+                   inv_n_):
+            return base(vals_, cols_, out_, prs_, frs_, pcs_, fcs_,
+                        pos_, inv_n_, bx=blk, by=blk, t=blk, l=l,
+                        precision=precision)
+
+        run = jax.jit(_fixed, donate_argnums=(2,),
+                      in_shardings=(rep, rep, rep, blk_sh, blk_sh,
+                                    blk_sh, blk_sh, blk_sh, rep),
+                      out_shardings=rep)
 
     for _ in range(iters):
         out = jnp.zeros_like(vals)
-        for bi in range(nblk):
-            rs = slice(bi * blk, (bi + 1) * blk)
-            for bj in range(bi, nblk):
-                cs = slice(bj * blk, (bj + 1) * blk)
-                pid_out = np.full((blk, blk), dump, np.int32)
-                for a in range(rs.start, min(rs.stop, n)):
-                    for b in range(max(cs.start, a + 1), min(cs.stop, n)):
-                        pid_out[a - rs.start, b - cs.start] = \
-                            pair_index(a, b, n)
-                out = _consistency_block(
-                    vals, cols, out,
-                    pid_d[rs], flag_d[rs], pid_d[:, cs], flag_d[:, cs],
-                    jnp.asarray(pid_out), inv_n,
-                    bx=blk, by=blk, t=t, l=l, precision=precision)
+        for lo in range(0, nblk_total, wave):
+            w = [a[lo:lo + wave] for a in (prs, frs, pcs, fcs, pos)]
+            pad = wave - w[0].shape[0] if lo + wave > nblk_total else 0
+            if pad:
+                dmy = _dummy_block(dump, blk, nb)
+                w = [np.concatenate([a, np.stack([d] * pad)])
+                     for a, d in zip(w, dmy)]
+            out = run(vals, cols, out,
+                      jnp.asarray(w[0]), jnp.asarray(w[1]),
+                      jnp.asarray(w[2]), jnp.asarray(w[3]),
+                      jnp.asarray(w[4]), inv_n)
         vals = out
     return vals

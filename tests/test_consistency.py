@@ -127,3 +127,22 @@ def test_consistency_sparse_matches_dense():
                                   np.asarray(store_c[p]), l)
                     for p in range(len(pairs))])
     assert np.abs(got - dense_out).max() < 2e-5
+
+
+def test_consistency_sparse_sharded_matches_single():
+    """Mesh-sharded wave (8 virtual devices) == single-device result."""
+    import jax
+    from muscle_tpu.ops import sparse as sp
+    from muscle_tpu.parallel.mesh import make_mesh
+    rng = np.random.default_rng(9)
+    n, l, k = 9, 32, 8
+    pairs, post = _random_sparse_posts(rng, n, l, max_row_nnz=4)
+    vals, cols, _ = sp.sparsify(jnp.asarray(post), k)
+    store_v = jnp.concatenate([vals, jnp.zeros((1, l, k), jnp.float32)])
+    store_c = jnp.concatenate([cols, jnp.full((1, l, k), -1, jnp.int32)])
+    single = np.asarray(cons.consistency_sparse(
+        store_v, store_c, n, 2, seq_block=4))
+    mesh = make_mesh(jax.devices()[:8])
+    sharded = np.asarray(cons.consistency_sparse(
+        store_v, store_c, n, 2, seq_block=4, mesh=mesh))
+    assert np.abs(single[:-1] - sharded[:-1]).max() < 1e-6
