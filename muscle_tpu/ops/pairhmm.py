@@ -78,23 +78,35 @@ def _forward_scan(e, ins_x, ins_y, start, tv):
     on TPU (observed 24x HBM blowup).
     reference: src/fwdflat3.cpp:12-153.
     """
-    Bx = e.shape[0]
-    By = e.shape[1]
-    tMM, tMI, tMJ, tII, tIM, tJJ, tJM = (tv[k] for k in range(7))
-    tSM, tSI, tSJ = start[0], start[1], start[3]
+    row0 = fwd_boundary_row(e.shape[1], ins_y, start, tv)
+    step = make_fwd_step(ins_y, start, tv)
+    (_, _), rows = jax.lax.scan(step, (row0, jnp.int32(1)), (e, ins_x))
+    return tuple(jnp.concatenate([r0[None], rs])
+                 for r0, rs in zip(row0, rows))       # 5 x (Bx+1, By+1)
 
-    # --- row 0 (i = 0) boundary: src/fwdflat3.cpp:35-93 ----------------
+
+def fwd_boundary_row(By, ins_y, start, tv):
+    """Forward row 0 (i = 0) boundary: src/fwdflat3.cpp:35-93."""
+    tII, tJJ = tv[3], tv[5]
+    tSI, tSJ = start[1], start[3]
     lz = jnp.full((By + 1,), LOG_ZERO, dtype=jnp.float32)
     # IY(0,1) = tSI + ins(y0); IY(0,j) = IY(0,j-1) + tII + ins(y_{j-1})
-    ext_i = jnp.concatenate([jnp.array([tSI], jnp.float32) + ins_y[:1],
+    ext_i = jnp.concatenate([jnp.reshape(tSI, (1,)) + ins_y[:1],
                              tII + ins_y[1:]])
-    ext_j = jnp.concatenate([jnp.array([tSJ], jnp.float32) + ins_y[:1],
+    ext_j = jnp.concatenate([jnp.reshape(tSJ, (1,)) + ins_y[:1],
                              tJJ + ins_y[1:]])
     iy0 = jnp.concatenate([lz[:1], jnp.cumsum(ext_i)])
     jy0 = jnp.concatenate([lz[:1], jnp.cumsum(ext_j)])
-    row0 = (lz, lz, iy0, lz, jy0)                     # (M, IX, IY, JX, JY)
+    return (lz, lz, iy0, lz, jy0)                    # (M, IX, IY, JX, JY)
 
-    jpos = jnp.arange(1, By + 1)
+
+def make_fwd_step(ins_y, start, tv):
+    """Forward row-step fn for lax.scan; carry = (5-row tuple, absolute
+    1-based row index). Factored out so the long-sequence blocked path
+    (ops/pairhmm_long.py) can resume from a checkpointed carry."""
+    tMM, tMI, tMJ, tII, tIM, tJJ, tJM = (tv[k] for k in range(7))
+    tSM, tSI, tSJ = start[0], start[1], start[3]
+    jpos = jnp.arange(1, ins_y.shape[0] + 1)
 
     def step(carry, xi):
         prev, i = carry                      # prev: 5-tuple of (By+1,); i = row (1-based)
@@ -123,11 +135,12 @@ def _forward_scan(e, ins_x, ins_y, start, tv):
         jx_row = jnp.concatenate([jx0[None], jx_new])
 
         # IY/JY rows: within-row affine recurrence over j
-        a_i = tII + ins_y
-        c_i = m_row[:-1] + tMI + ins_y
+        ins_y_ = ins_y
+        a_i = tII + ins_y_
+        c_i = m_row[:-1] + tMI + ins_y_
         iy_new = _row_affine_scan(a_i, c_i)
-        a_j = tJJ + ins_y
-        c_j = m_row[:-1] + tMJ + ins_y
+        a_j = tJJ + ins_y_
+        c_j = m_row[:-1] + tMJ + ins_y_
         jy_new = _row_affine_scan(a_j, c_j)
         iy_row = jnp.concatenate([jnp.full((1,), LOG_ZERO, jnp.float32), iy_new])
         jy_row = jnp.concatenate([jnp.full((1,), LOG_ZERO, jnp.float32), jy_new])
@@ -135,9 +148,7 @@ def _forward_scan(e, ins_x, ins_y, start, tv):
         new = (m_row, ix_row, iy_row, jx_row, jy_row)
         return (new, i + 1), new
 
-    (_, _), rows = jax.lax.scan(step, (row0, jnp.int32(1)), (e, ins_x))
-    return tuple(jnp.concatenate([r0[None], rs])
-                 for r0, rs in zip(row0, rows))       # 5 x (Bx+1, By+1)
+    return step
 
 
 def _backward_scan(e_rev, ins_xr, ins_yr, start, tv):
@@ -148,13 +159,19 @@ def _backward_scan(e_rev, ins_xr, ins_yr, start, tv):
     Bwd[s](LX-u, LY-v) for u <= LX, v <= LY (padded regions are garbage
     but never read). reference: src/bwdflat3.cpp:10-190.
     """
-    By = e_rev.shape[1]
-    tMM, tMI, tMJ, tII, tIM, tJJ, tJM = (tv[k] for k in range(7))
-    tSM, tSI, tSJ = start[0], start[1], start[3]
-    ins_y = ins_yr
-    ins_x = ins_xr
+    row0 = bwd_boundary_row(e_rev.shape[1], ins_yr, start, tv)
+    step = make_bwd_step(ins_yr, start, tv)
+    (_, _), rows = jax.lax.scan(step, (row0, jnp.int32(1)),
+                                (e_rev, ins_xr))
+    return tuple(jnp.concatenate([r0[None], rs])
+                 for r0, rs in zip(row0, rows))
 
-    # --- row u = 0 (i = LX): only IY/JY/M live ---------------------------
+
+def bwd_boundary_row(By, ins_y, start, tv):
+    """Backward (reversed-scan) row u = 0 (i = LX) boundary."""
+    tII, tJJ = tv[3], tv[5]
+    tSM, tSI, tSJ = start[0], start[1], start[3]
+    tMI, tMJ = tv[1], tv[2]
     lz = jnp.full((By + 1,), LOG_ZERO, dtype=jnp.float32)
     # IY(0,0)=tSI; IY(0,v) = IY(0,v-1) + ins(yr_{v-1}) + tII
     iy0 = tSI + jnp.concatenate([jnp.zeros(1, jnp.float32),
@@ -163,10 +180,16 @@ def _backward_scan(e_rev, ins_xr, ins_yr, start, tv):
                                  jnp.cumsum(ins_y + tJJ)])
     # M(0,v) = LOG_ADD(tMI + IY(0,v-1)+ins, tMJ + JY(0,v-1)+ins); M(0,0)=tSM
     m0_tail = log_add(tMI + iy0[:-1] + ins_y, tMJ + jy0[:-1] + ins_y)
-    m0 = jnp.concatenate([jnp.array([tSM], jnp.float32), m0_tail])
+    m0 = jnp.concatenate([jnp.reshape(tSM, (1,)), m0_tail])
     ix0 = lz.at[0].set(tSI)
     jx0 = lz.at[0].set(tSJ)
-    row0 = (m0, ix0, iy0, jx0, jy0)
+    return (m0, ix0, iy0, jx0, jy0)
+
+
+def make_bwd_step(ins_yr, start, tv):
+    """Backward (reversed-scan) row-step fn; see make_fwd_step."""
+    tMM, tMI, tMJ, tII, tIM, tJJ, tJM = (tv[k] for k in range(7))
+    ins_y = ins_yr
 
     def step(carry, xi):
         prev, u = carry
@@ -214,9 +237,7 @@ def _backward_scan(e_rev, ins_xr, ins_yr, start, tv):
         new = (m_row, ix_row, iy_row, jx_row, jy_row)
         return (new, u + 1), new
 
-    (_, _), rows = jax.lax.scan(step, (row0, jnp.int32(1)), (e_rev, ins_x))
-    return tuple(jnp.concatenate([r0[None], rs])
-                 for r0, rs in zip(row0, rows))
+    return step
 
 
 def _pair_posterior_e(e, e_rev, ins_x, ins_y, ins_xr, ins_yr,

@@ -190,6 +190,13 @@ def _bucketize(pairs, lens, cap: int, min_saving: float = 0.25):
     return sorted(buckets.items())
 
 
+def _clamp_chunk_by_len(b: int, lb: int) -> int:
+    """Cap the pair chunk so the fwd+bwd (Lx, B, Ly) lattices plus the
+    posterior stay within ~8 GB of HBM at bucket length lb."""
+    cap = max(8, int((8 << 30) // max(1, 12 * lb * lb)))
+    return max(8, min(b, cap // 8 * 8))
+
+
 def _sparse_store_loop(make_fn, chunk_args_fn, pairs, lens, b, k,
                        l_full, bucket=True):
     """Shared device loop: run batches (length-bucketed), sparsify on
@@ -230,6 +237,7 @@ def _sparse_store_loop(make_fn, chunk_args_fn, pairs, lens, b, k,
         buckets = [(l_full, list(range(n_pairs)))]
     for lb, idxs in buckets:
         fn = make_fn(lb)
+        b = _clamp_chunk_by_len(b, lb)
         for lo in range(0, len(idxs), b):
             ch = idxs[lo:lo + b]
             full = ch + [ch[0]] * (b - len(ch))
@@ -259,6 +267,8 @@ def all_pairs_posteriors_sparse(codes: np.ndarray, lens: np.ndarray,
     """
     if backend == "auto":
         backend = default_backend()
+    if codes.shape[1] > LONG_PAIR_THRESHOLD:
+        return _long_pairs_sparse(codes, lens, pack, pairs, k)
     import jax
     n_dev = len(jax.devices())
     b = _pick_chunk(batch_size, len(pairs), backend, n_dev)
@@ -274,6 +284,34 @@ def all_pairs_posteriors_sparse(codes: np.ndarray, lens: np.ndarray,
 
     return _sparse_store_loop(make_fn, chunk_args, pairs, lens, b, k,
                               codes.shape[1], bucket=bucket)
+
+
+# beyond this padded length the batched kernels' (Lx, B, Ly) lattices
+# stop fitting; switch to the per-pair blocked checkpoint/recompute
+# path (ops/pairhmm_long.py) which removes the reference's ~21k cap
+LONG_PAIR_THRESHOLD = 8192
+
+
+def _long_pairs_sparse(codes, lens, pack, pairs, k):
+    """Per-pair long-sequence posterior loop (host store)."""
+    from ..ops.pairhmm_long import long_pair_posterior_sparse
+    l = codes.shape[1]
+    n_pairs = len(pairs)
+    sv = np.zeros((n_pairs + 1, l, k), np.float32)
+    sc = np.full((n_pairs + 1, l, k), -1, np.int32)
+    ea = np.zeros(n_pairs, np.float32)
+    max_nnz = 0
+    for i, (x, y) in enumerate(pairs):
+        vals, cols, ea_p, _tot = long_pair_posterior_sparse(
+            codes[x][:lens[x]], codes[y][:lens[y]], pack, k=k,
+            row_block=2048)
+        sv[i, :lens[x]] = vals
+        sc[i, :lens[x]] = cols
+        ea[i] = ea_p
+        # note: nnz beyond K is invisible to the blocked path (top-K
+        # per row); report the stored max
+        max_nnz = max(max_nnz, int((vals > 0).sum(axis=1).max()))
+    return jnp.asarray(sv), jnp.asarray(sc), ea, max_nnz
 
 
 def ea_dist_matrix(n: int, pairs: list[tuple[int, int]], ea: np.ndarray
