@@ -68,7 +68,8 @@ def parse_args(argv: list[str]) -> tuple[str | None, str | None, dict]:
         "resample", "efa_explode", "fa2efa", "addconfseq", "letterconf",
         "efa_bestconf", "efa_bestcols", "colscore_efa", "qscore_efa",
         "trimtoref_efa", "eesort", "cmp_msa", "cmp_ref_msas", "upgma5",
-        "bench", "consseq", "guide_tree", "efastats", "msastats",
+        "bench", "bench_blosums", "sweep", "spatter",
+        "consseq", "guide_tree", "efastats", "msastats",
         "eadistmx", "kmerdist", "muscle3",
         "m3ensemble", "m3select", "m3refine",
         "strip_gappy_cols", "strip_gappy_rows", "relabel", "trimtoref",
@@ -192,6 +193,8 @@ def _dispatch(cmd: str, arg1: str, opts: dict) -> int:
         return _cmd_cmp_ref_msas(arg1, opts)
     if cmd == "upgma5":
         return _cmd_upgma5(arg1, opts)
+    if cmd in ("bench", "bench_blosums", "sweep", "spatter"):
+        return _cmd_bench3(cmd, arg1, opts)
     raise SystemExit(f"unknown command -{cmd}")
 
 
@@ -208,6 +211,10 @@ def _cmd_align(cmd: str, arg1: str, opts: dict) -> int:
     out = opts.get("output")
     if not out:
         raise SystemExit("must set -output")
+    if opts.get("savedir"):
+        # dump every PProg join MSA (reference: src/pprog.cpp:354-363)
+        from .pipeline import pprog
+        pprog.SAVE_DIR = str(opts["savedir"])
     run_align_command(cmd, arg1, out, opts)
     return 0
 
@@ -308,12 +315,33 @@ def _cmd_muscle3(arg1: str, opts: dict) -> int:
     if not out:
         raise SystemExit("must set -output")
     seqs = MultiSequence.from_fasta(arg1)
-    m3 = Muscle3(
-        gap_open=float(opts.get("gapopen", -6.0)),
+    from .pipeline.muscle3 import M3Params
+    params = M3Params(
+        pctid=int(opts.get("blosumpct", 62)),
+        param_group=int(opts.get("paramset", 0)),
+        gap_open=(float(opts["gapopen"]) if opts.get("gapopen") else None),
+        center=(float(opts["center"]) if opts.get("center") else None),
         kmer_dist=str(opts.get("kmerdist", "66")),
         linkage=str(opts.get("linkage", "min")),
         tree_iters=int(opts.get("treeiters", 1)))
+    m3 = Muscle3(params=params)
     m3.run(seqs).write_fasta(str(out))
+    return 0
+
+
+def _cmd_bench3(cmd: str, arg1: str, opts: dict) -> int:
+    """Benchmark sweeps over a directory of reference MSAs (reference:
+    src/cmd_bench.cpp, src/sweep.cpp, src/spatter.cpp)."""
+    from .pipeline import bench3
+    if cmd == "bench":
+        q, tc, n = bench3.run_bench(arg1, opts)
+        print(f"AvgQ={q:.3f} AvgTC={tc:.3f} N={n}")
+    elif cmd == "bench_blosums":
+        bench3.run_bench_blosums(arg1, opts)
+    elif cmd == "sweep":
+        bench3.run_sweep(arg1, opts)
+    else:
+        bench3.run_spatter(arg1, opts)
     return 0
 
 

@@ -86,6 +86,9 @@ class MPC:
         # sparse layout (ops/sparse.py): the dense (P, L, L) readback
         # is both the round-1 OOM (N=64 on 16 GB) and, on a tunneled
         # TPU, a ~L/(2K)x larger host transfer than needed
+        from ..utils import logging as mlog
+        mlog.log("MPC: %d unique seqs, %d pairs, pad %d", n, len(pairs),
+                 pad_to)
         if self.mega is not None:
             # Muscle-3D: emissions from feature profiles, matched by label
             # (reference: MPCFlat_mega, src/mpcflat_mega.cpp)
@@ -101,10 +104,11 @@ class MPC:
                     batch_size=self.batch_size, k=self.sparse_k)
         else:
             codes, lens = post_mod.encode_batch(unique, alpha, pad_to=pad_to)
-            store_v, store_c, ea, max_nnz = \
-                post_mod.all_pairs_posteriors_sparse(
-                    codes, lens, pack, pairs,
-                    batch_size=self.batch_size, k=self.sparse_k)
+            with mlog.stage("posteriors"):
+                store_v, store_c, ea, max_nnz = \
+                    post_mod.all_pairs_posteriors_sparse(
+                        codes, lens, pack, pairs,
+                        batch_size=self.batch_size, k=self.sparse_k)
         if max_nnz > self.sparse_k:
             from ..utils.logging import log
             log(f"sparse posterior truncation: max row nnz {max_nnz} > "
@@ -132,9 +136,11 @@ class MPC:
             from ..ops.consistency import consistency_sparse
             l = store_v.shape[1]
             seq_block = max(1, min(16, 16384 // l))
-            store_v = consistency_sparse(
-                store_v, store_c, n, self.consistency_iters,
-                seq_block=seq_block, precision=self.consistency_precision)
+            with mlog.stage("consistency"):
+                store_v = consistency_sparse(
+                    store_v, store_c, n, self.consistency_iters,
+                    seq_block=seq_block,
+                    precision=self.consistency_precision)
         # single bulk device->host fetch of the (small) sparse store
         posts = PairPosteriors()
         vals_np = np.asarray(store_v)
@@ -146,9 +152,12 @@ class MPC:
         del vals_np, cols_np
 
         idx1, idx2 = guide_tree_join_order(tree, label_to_index)
-        msa = progressive_align(unique, idx1, idx2, label_to_index, posts)
-        msa = refine(msa, self.refine_iters, label_to_index, posts,
-                     rng=refine_rng)
+        with mlog.stage("progressive"):
+            msa = progressive_align(unique, idx1, idx2, label_to_index,
+                                    posts)
+        with mlog.stage("refine"):
+            msa = refine(msa, self.refine_iters, label_to_index, posts,
+                         rng=refine_rng)
 
         msa = self._sort(msa, unique, tree, label_to_index)
 

@@ -56,6 +56,19 @@ def align_msas_by_path(msa1: MultiSequence, msa2: MultiSequence,
     return out
 
 
+# -savedir: when set (by the CLI), every PProg join MSA is dumped to
+# <SAVE_DIR>/join<k> (reference: src/pprog.cpp:354-363 opt(savedir)).
+SAVE_DIR: str | None = None
+
+
+def _save_join(msa: MultiSequence, join_index: int) -> None:
+    if not SAVE_DIR:
+        return
+    import os
+    os.makedirs(SAVE_DIR, exist_ok=True)
+    msa.write_fasta(os.path.join(SAVE_DIR, f"join{join_index}"))
+
+
 class PProg:
     """TPU scheduling note: MSA-MSA *scores* only need the mean EA of
     the sampled sequence pairs — a device batch whose host readback is
@@ -175,6 +188,7 @@ class PProg:
             m1, m2 = node_msas[key[0]], node_msas[key[1]]
             _, path = self.path_msas(m1, m2, snaps[key].clone())
             joined = align_msas_by_path(m1, m2, path)
+            _save_join(joined, join)
             node_msas.append(joined)
             pending = [p for p in pending if p not in (i1, i2)]
             # score the new node against remaining pending nodes
@@ -191,13 +205,17 @@ class PProg:
     # -- guide-tree-driven joins (reference: src/pprog_tree.cpp) ---------
     def run_guide_tree(self, msas: list[MultiSequence],
                        idx1: list[int], idx2: list[int]) -> MultiSequence:
+        from ..utils import logging as mlog
         n = len(msas)
         node_msas: list[MultiSequence | None] = list(msas)
         for k in range(len(idx1)):
+            mlog.log("PProg join %d/%d", k + 1, len(idx1))
             m1 = node_msas[idx1[k]]
             m2 = node_msas[idx2[k]]
             _, path = self.path_msas(m1, m2)
-            node_msas.append(align_msas_by_path(m1, m2, path))
+            joined = align_msas_by_path(m1, m2, path)
+            _save_join(joined, k)
+            node_msas.append(joined)
             node_msas[idx1[k]] = None
             node_msas[idx2[k]] = None
         return node_msas[-1]

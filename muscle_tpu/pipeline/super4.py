@@ -83,7 +83,9 @@ class Super4:
         aligner = PairAligner(seqs, self.pack, self.alpha)
         ec = EACluster(aligner, self.alpha)
 
-        clusters = ec.run(list(range(n)), seqs, self.min_ea1)
+        from ..utils import logging as mlog
+        with mlog.stage("eacluster"):
+            clusters = ec.run(list(range(n)), seqs, self.min_ea1)
         split: list[list[int]] = []
         for cl in clusters:
             if len(cl) > self.max_cluster:
@@ -91,14 +93,18 @@ class Super4:
             else:
                 split.append(cl)
         clusters = split
+        mlog.progress("Super4: %d clusters (max size %d)", len(clusters),
+                      max(len(c) for c in clusters) if clusters else 0)
 
         # per-cluster MSAs (MPC; singletons pass through)
         cluster_msas: list[MultiSequence] = []
-        for cl in clusters:
+        for ci, cl in enumerate(clusters):
             sub = MultiSequence([seqs[i] for i in cl])
             if len(cl) == 1:
                 cluster_msas.append(sub)
             else:
+                mlog.log("Super4: cluster %d/%d (%d seqs)", ci + 1,
+                         len(clusters), len(cl))
                 mpc = self.mpc_factory()
                 cluster_msas.append(mpc.run(sub, hp, self.alpha))
 

@@ -35,6 +35,7 @@ class Super5:
 
     def run(self, seqs: MultiSequence, hp: HMMParams, alpha: str
             ) -> MultiSequence:
+        from ..utils import logging as mlog
         from .mpc import MPC
 
         pack = hp.to_scores()
@@ -43,13 +44,16 @@ class Super5:
         derep = Derep()
         derep.run(seqs)
         unique = derep.unique_seqs(seqs)
+        mlog.progress("Super5: %d seqs, %d unique", len(seqs), len(unique))
 
         # 2. UCLUST at 0.99 on uniques, keeping member->centroid paths
         aligner = PairAligner(unique, pack, alpha)
         uc = UClust(aligner, alpha)
-        centroid_idx, seq_to_centroid, seq_to_path = uc.run(
-            unique, self.min_ea1)
+        with mlog.stage("uclust"):
+            centroid_idx, seq_to_centroid, seq_to_path = uc.run(
+                unique, self.min_ea1)
         centroids = MultiSequence([unique[i] for i in centroid_idx])
+        mlog.progress("Super5: %d centroids", len(centroids))
 
         # 3. Super4 on centroids
         def mpc_factory():
@@ -59,7 +63,9 @@ class Super5:
             centroid_msa = MultiSequence([centroids[0]])
         else:
             s4 = Super4(mpc_factory, pack, alpha)
-            centroid_msa = s4.run(centroids, hp, tree_perm=self.tree_perm)
+            with mlog.stage("super4"):
+                centroid_msa = s4.run(centroids, hp,
+                                      tree_perm=self.tree_perm)
 
         # 4. transitive extension of members
         cen_row = {s.label: k for k, s in enumerate(centroid_msa)}
