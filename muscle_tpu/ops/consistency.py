@@ -297,6 +297,7 @@ def consistency_sparse(vals, cols, n: int, iters: int, *,
                                     blk_sh, blk_sh, blk_sh, rep),
                       out_shardings=rep)
 
+    from ..utils.devretry import call_with_retry
     for _ in range(iters):
         out = jnp.zeros_like(vals)
         for lo in range(0, nblk_total, wave):
@@ -306,9 +307,10 @@ def consistency_sparse(vals, cols, n: int, iters: int, *,
                 dmy = _dummy_block(dump, blk, nb)
                 w = [np.concatenate([a, np.stack([d] * pad)])
                      for a, d in zip(w, dmy)]
-            out = run(vals, cols, out,
-                      jnp.asarray(w[0]), jnp.asarray(w[1]),
-                      jnp.asarray(w[2]), jnp.asarray(w[3]),
-                      jnp.asarray(w[4]), inv_n)
+            out = call_with_retry(
+                run, vals, cols, out,
+                jnp.asarray(w[0]), jnp.asarray(w[1]),
+                jnp.asarray(w[2]), jnp.asarray(w[3]),
+                jnp.asarray(w[4]), inv_n)
         vals = out
     return vals

@@ -319,6 +319,54 @@ def batch_posteriors_emissions(e, e_rev, ins_x, ins_y, ins_xr, ins_yr,
 
 
 @partial(jax.jit, static_argnames=("with_mea",))
+def batch_posteriors_emissions_multi(e, e_rev, ins_x, ins_y, ins_xr,
+                                     ins_yr, lxb, lyb, start_b, tv_b,
+                                     with_mea: bool = True):
+    """Per-pair-parameter variant of batch_posteriors_emissions: start_b
+    (B, 5) / tv_b (B, 7) give each pair its own transition scores. Used
+    by the ensemble replicate batching, where pairs from differently
+    perturbed HMMs share one device stream (SURVEY §7: replicates are
+    embarrassingly parallel — run them as the outer batch axis)."""
+    post, _total = jax.vmap(_pair_posterior_e)(
+        e, e_rev, ins_x, ins_y, ins_xr, ins_yr, lxb, lyb, start_b, tv_b)
+    if with_mea:
+        scores = jax.vmap(_mea_score)(post, lxb, lyb)
+        ea = scores / jnp.minimum(lxb, lyb).astype(jnp.float32)
+    else:
+        ea = jnp.zeros(e.shape[0], jnp.float32)
+    return post, ea
+
+
+@partial(jax.jit, static_argnames=("with_mea",))
+def batch_posteriors_multi(xb, yb, lxb, lyb, match_b, insert_b, start_b,
+                           tv_b, with_mea: bool = True):
+    """batch_posteriors with per-pair score tables: match_b (B, K+1, K+1),
+    insert_b (B, K+1), start_b (B, 5), tv_b (B, 7)."""
+    b, bx = xb.shape
+    by = yb.shape[1]
+    xr = reverse_padded(xb, lxb, bx)
+    yr = reverse_padded(yb, lyb, by)
+    e = jax.vmap(lambda m, x, y: m[x][:, y])(match_b, xb, yb)
+    e_rev = jax.vmap(lambda m, x, y: m[x][:, y])(match_b, xr, yr)
+    gi = jax.vmap(lambda t, i: t[i])
+    return batch_posteriors_emissions_multi(
+        e, e_rev, gi(insert_b, xb), gi(insert_b, yb), gi(insert_b, xr),
+        gi(insert_b, yr), lxb, lyb, start_b, tv_b, with_mea=with_mea)
+
+
+def score_args_multi(packs, rep_idx):
+    """Stacked per-pair score tables for batch_posteriors_multi:
+    packs[rep_idx[i]] supplies pair i's tables. Returns device arrays
+    (match_b, insert_b, start_b, tv_b) indexed by the (B,) rep_idx."""
+    ri = jnp.asarray(np.asarray(rep_idx, dtype=np.int32))
+    match = jnp.asarray(np.stack([p.match for p in packs]))
+    insert = jnp.asarray(np.stack([p.insert for p in packs]))
+    start = jnp.asarray(np.stack([p.start for p in packs]))
+    tv = jnp.stack([_trans_vec(p) for p in packs])
+    return match[ri], insert[ri], start[ri], tv[ri]
+
+
+@partial(jax.jit, static_argnames=("with_mea",))
 def batch_posteriors(xb, yb, lxb, lyb, match, insert, start, tv,
                      with_mea: bool = True):
     """Posteriors (+ MEA/EA scores) for a batch of sequence pairs.

@@ -36,9 +36,32 @@ from .pairhmm import MIN_SPARSE_SCORE
 
 NEG_BIG = -1e30  # sentinel more negative than any reachable score sum
 
-# params vector layout (SMEM): [tSM, tSI, tSJ, tMM, tMI, tMJ, tII, tIM,
-#                               tJJ, tJM, 0...]
+# per-pair params layout, (B, 16) VMEM rows: [tSM, tSI, tSJ, tMM, tMI,
+# tMJ, tII, tIM, tJJ, tJM, 0...] — each pair can carry its own HMM
+# transitions (ensemble replicate batching); the kernel reads (P, 1)
+# columns that broadcast like the former shared scalars
 P_TSM, P_TSI, P_TSJ, P_TMM, P_TMI, P_TMJ, P_TII, P_TIM, P_TJJ, P_TJM = range(10)
+
+
+def _params_rows(start, tv, b):
+    """Shared-HMM (B, 16) params block from (5,) start + (7,) tv."""
+    row = jnp.zeros((16,), jnp.float32)
+    row = row.at[P_TSM].set(start[0])
+    row = row.at[P_TSI].set(start[1])
+    row = row.at[P_TSJ].set(start[3])
+    row = row.at[3:10].set(tv[:7])
+    return jnp.broadcast_to(row, (b, 16))
+
+
+def _params_rows_multi(start_b, tv_b):
+    """Per-pair (B, 16) params block from (B, 5) start + (B, 7) tv."""
+    b = start_b.shape[0]
+    p = jnp.zeros((b, 16), jnp.float32)
+    p = p.at[:, P_TSM].set(start_b[:, 0])
+    p = p.at[:, P_TSI].set(start_b[:, 1])
+    p = p.at[:, P_TSJ].set(start_b[:, 3])
+    p = p.at[:, 3:10].set(tv_b[:, :7])
+    return p
 
 
 def _logexp1_sel(x):
@@ -196,16 +219,19 @@ def _fwd_kernel(scan_k, n_rows, kk, params, *refs):
         e_row = _emission_row(xm_ref, oy_ref, kk)
     i = pl.program_id(1)
     L = insy_ref.shape[1]
-    tSM = params[0, P_TSM]
-    tSI = params[0, P_TSI]
-    tSJ = params[0, P_TSJ]
-    tMM = params[0, P_TMM]
-    tMI = params[0, P_TMI]
-    tMJ = params[0, P_TMJ]
-    tII = params[0, P_TII]
-    tIM = params[0, P_TIM]
-    tJJ = params[0, P_TJJ]
-    tJM = params[0, P_TJM]
+    # per-pair transition scores as (P, 1) columns — broadcast against
+    # the (P, L) state rows exactly like the former SMEM scalars, but
+    # each pair may carry its own (e.g. ensemble-perturbed) HMM
+    tSM = params[:, P_TSM:P_TSM + 1]
+    tSI = params[:, P_TSI:P_TSI + 1]
+    tSJ = params[:, P_TSJ:P_TSJ + 1]
+    tMM = params[:, P_TMM:P_TMM + 1]
+    tMI = params[:, P_TMI:P_TMI + 1]
+    tMJ = params[:, P_TMJ:P_TMJ + 1]
+    tII = params[:, P_TII:P_TII + 1]
+    tIM = params[:, P_TIM:P_TIM + 1]
+    tJJ = params[:, P_TJJ:P_TJJ + 1]
+    tJM = params[:, P_TJM:P_TJM + 1]
 
     insy = insy_ref[:, :]
 
@@ -316,16 +342,16 @@ def _bwd_kernel(scan_k, kk, params, *refs):
          m_s, ix_s, iy_s, jx_s, jy_s, c0_s) = refs
     u = pl.program_id(1)
     L = insy_ref.shape[1]
-    tSM = params[0, P_TSM]
-    tSI = params[0, P_TSI]
-    tSJ = params[0, P_TSJ]
-    tMM = params[0, P_TMM]
-    tMI = params[0, P_TMI]
-    tMJ = params[0, P_TMJ]
-    tII = params[0, P_TII]
-    tIM = params[0, P_TIM]
-    tJJ = params[0, P_TJJ]
-    tJM = params[0, P_TJM]
+    tSM = params[:, P_TSM:P_TSM + 1]
+    tSI = params[:, P_TSI:P_TSI + 1]
+    tSJ = params[:, P_TSJ:P_TSJ + 1]
+    tMM = params[:, P_TMM:P_TMM + 1]
+    tMI = params[:, P_TMI:P_TMI + 1]
+    tMJ = params[:, P_TMJ:P_TMJ + 1]
+    tII = params[:, P_TII:P_TII + 1]
+    tIM = params[:, P_TIM:P_TIM + 1]
+    tJJ = params[:, P_TJJ:P_TJJ + 1]
+    tJM = params[:, P_TJM:P_TJM + 1]
 
     insy = insy_ref[:, :]
 
@@ -456,8 +482,8 @@ def _fwd_pallas(e_t, insx_t, insy, lymask, lxf, params, tile_p,
         partial(_fwd_kernel, scan_k, lx, None),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 16), lambda t, i: (0, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_p, 16), lambda t, i: (t, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_p, ly), lambda t, i: (i, t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_p, 1), lambda t, i: (i, t, 0),
@@ -497,8 +523,8 @@ def _bwd_pallas(e_rev_t, insx_rev_t, insy_rev, params, tile_p,
         partial(_bwd_kernel, scan_k, None),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 16), lambda t, i: (0, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_p, 16), lambda t, i: (t, 0),
+                         memory_space=pltpu.VMEM),
             # grid step u consumes emission row u-1 (row 0 is the
             # init-only boundary step and reads a dummy block)
             pl.BlockSpec((1, tile_p, ly),
@@ -531,8 +557,8 @@ def _fwd_pallas_fused(xm_t, oy, insx_t, insy, lymask, lxf, params,
         partial(_fwd_kernel, scan_k, lx, kk),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 16), lambda t, i: (0, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_p, 16), lambda t, i: (t, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_p, 128), lambda t, i: (i, t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_p, kp, ly), lambda t, i: (t, 0, 0),
@@ -573,8 +599,8 @@ def _bwd_pallas_fused(xm_rev_t, oy_rev, insx_rev_t, insy_rev, params,
         partial(_bwd_kernel, scan_k, kk),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 16), lambda t, i: (0, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_p, 16), lambda t, i: (t, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_p, 128),
                          lambda t, i: (jnp.maximum(i - 1, 0), t, 0),
                          memory_space=pltpu.VMEM),
@@ -648,11 +674,7 @@ def batch_posteriors_pallas_emissions(e, e_rev, ins_x, ins_y, ins_xr,
     lymask = (jj[None, :] == (lyb[:, None] - 1)).astype(jnp.float32)
     lxf = jnp.broadcast_to(lxb.astype(jnp.float32)[:, None], (b, 128))
 
-    params = jnp.zeros((1, 16), jnp.float32)
-    params = params.at[0, P_TSM].set(start[0])
-    params = params.at[0, P_TSI].set(start[1])
-    params = params.at[0, P_TSJ].set(start[3])
-    params = params.at[0, 3:10].set(tv[:7])
+    params = _params_rows(start, tv, b)
 
     fm_t, f_end5 = _fwd_pallas(e.transpose(1, 0, 2),
                                ins_x.T[:, :, None], ins_y, lymask, lxf,
@@ -752,11 +774,7 @@ def batch_posteriors_pallas(xb, yb, lxb, lyb, match, insert, start, tv,
     lymask = (jj[None, :] == (lyb[:, None] - 1)).astype(jnp.float32)
     lxf = jnp.broadcast_to(lxb.astype(jnp.float32)[:, None], (b, 128))
 
-    params = jnp.zeros((1, 16), jnp.float32)
-    params = params.at[0, P_TSM].set(start[0])
-    params = params.at[0, P_TSI].set(start[1])
-    params = params.at[0, P_TSJ].set(start[3])
-    params = params.at[0, 3:10].set(tv[:7])
+    params = _params_rows(start, tv, b)
 
     fm_t, f_end5 = _fwd_pallas_fused(
         xmt(xb), oyt(yb), insert[xb].T[:, :, None], insert[yb],
@@ -766,3 +784,92 @@ def batch_posteriors_pallas(xb, yb, lxb, lyb, match, insert, start, tv,
         params, tile_p, kk, scan_k)
     return _finish_posteriors(fm_t, rbm_t, f_end5, lxb, lyb, start,
                               with_mea, tile_p)
+
+
+@partial(jax.jit, static_argnames=("with_mea", "tile_p", "scan_k"))
+def batch_posteriors_pallas_multi(xb, yb, lxb, lyb, match_b, insert_b,
+                                  start_b, tv_b,
+                                  with_mea: bool = True,
+                                  tile_p: int | None = None,
+                                  scan_k: int | None = None):
+    """batch_posteriors_pallas with per-pair score tables — match_b
+    (B, K+1, K+1), insert_b (B, K+1), start_b (B, 5), tv_b (B, 7).
+
+    This is the device path for ensemble replicate batching: pairs from
+    differently perturbed HMMs share one kernel launch (the kernels read
+    transitions as per-pair (P, 1) columns; emissions/inserts below are
+    gathered from each pair's own tables)."""
+    b, bx = xb.shape
+    by = yb.shape[1]
+    kk = match_b.shape[1]
+    kp = _round_up(kk, 8)
+    if tile_p is None:
+        tile_p = _pick_tile_p(b, by, kp)
+    xr = jax.vmap(lambda x, lx: jnp.roll(x[::-1], lx - bx))(xb, lxb)
+    yr = jax.vmap(lambda y, ly: jnp.roll(y[::-1], ly - by))(yb, lyb)
+
+    def xmt(codes):
+        # per-pair match rows: (B, L, 128) -> (L, B, 128)
+        ox = jax.nn.one_hot(codes, kk, dtype=jnp.float32)
+        xm = jnp.einsum("blk,bkm->blm", ox, match_b,
+                        precision=jax.lax.Precision.HIGHEST)
+        return jnp.pad(xm, ((0, 0), (0, 0), (0, 128 - kk))
+                       ).transpose(1, 0, 2)
+
+    def oyt(codes):
+        oy = jax.nn.one_hot(codes, kk, dtype=jnp.float32, axis=1)
+        return jnp.pad(oy, ((0, 0), (0, kp - kk), (0, 0)))
+
+    def ins(codes):
+        return jnp.take_along_axis(insert_b, codes, axis=1)
+
+    jj = jnp.arange(by)
+    lymask = (jj[None, :] == (lyb[:, None] - 1)).astype(jnp.float32)
+    lxf = jnp.broadcast_to(lxb.astype(jnp.float32)[:, None], (b, 128))
+    params = _params_rows_multi(start_b, tv_b)
+
+    fm_t, f_end5 = _fwd_pallas_fused(
+        xmt(xb), oyt(yb), ins(xb).T[:, :, None], ins(yb),
+        lymask, lxf, params, tile_p, kk, scan_k)
+    rbm_t = _bwd_pallas_fused(
+        xmt(xr), oyt(yr), ins(xr).T[:, :, None], ins(yr),
+        params, tile_p, kk, scan_k)
+    return _finish_posteriors_multi(fm_t, rbm_t, f_end5, lxb, lyb,
+                                    start_b, with_mea, tile_p)
+
+
+def _finish_posteriors_multi(fm_t, rbm_t, f_end5, lxb, lyb, start_b,
+                             with_mea, tile_p):
+    """_finish_posteriors with per-pair start scores (total-prob fold
+    uses each pair's own start vector)."""
+    bx, b, by = fm_t.shape
+    ii = jnp.arange(bx)
+    jj = jnp.arange(by)
+    # B[s](lx, ly) = start score of state s, per pair; kernel sly layout
+    # is [M, IX, IY, JX, JY] and start layout [M, IX, IY, JX, JY] with
+    # IX==IY and JX==JY entries (see _params_rows): fold directly
+    bstart = jnp.stack([start_b[:, 0], start_b[:, 1], start_b[:, 1],
+                        start_b[:, 3], start_b[:, 3]], axis=1)   # (B, 5)
+    f_end = f_end5[:, :5]
+    tot = jnp.full((b,), LOG_ZERO, jnp.float32)
+    for s in range(5):
+        tot = _log_add(tot, f_end[:, s] + bstart[:, s])
+
+    b_m_t = jax.vmap(
+        lambda rb, lx, ly: jnp.roll(rb[::-1, ::-1],
+                                    shift=(lx - bx, ly - by), axis=(0, 1)),
+        in_axes=(1, 0, 0), out_axes=1,
+    )(rbm_t, lxb, lyb)
+    score = fm_t + b_m_t - tot[None, :, None]
+    valid = (ii[:, None, None] < lxb[None, :, None]) & \
+            (jj[None, None, :] < lyb[None, :, None])
+    post_t = jnp.where((score >= MIN_SPARSE_SCORE) & valid,
+                       jnp.exp(jnp.minimum(score, 0.0)),
+                       0.0).astype(jnp.float32)
+
+    if with_mea:
+        scores = mea_scores_pallas(post_t, tile_p)
+        ea = scores / jnp.minimum(lxb, lyb).astype(jnp.float32)
+    else:
+        ea = jnp.zeros((post_t.shape[1],), jnp.float32)
+    return post_t.transpose(1, 0, 2), ea

@@ -31,6 +31,41 @@ def make_mesh(devices=None, axis: str = "dp") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Multi-host bring-up (DCN): call once per host before any device
+    op. Reads JAX_COORDINATOR_ADDRESS etc. when args are None. No-op on
+    a single host. The reference has no distributed mode at all
+    (SURVEY §5: one process + OpenMP); this is the TPU-native scale-out
+    path (jax.distributed + a 2-D dcn x ici mesh, collectives ride ICI
+    within a host and DCN across)."""
+    import os
+    coord = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not coord:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coord,
+        num_processes=(num_processes if num_processes is not None
+                       else int(os.environ.get("JAX_NUM_PROCESSES", 1))),
+        process_id=(process_id if process_id is not None
+                    else int(os.environ.get("JAX_PROCESS_ID", 0))))
+
+
+def make_mesh_2d(devices=None) -> Mesh:
+    """2-D (dcn, ici) mesh: the outer axis spans hosts (DCN), the inner
+    axis the chips within a host (ICI). The pair grid shards over BOTH
+    axes (pure data parallel, so the only cross-host traffic is the
+    replicated-operand all-gather of the blocked consistency, which XLA
+    hierarchically decomposes: ICI all-gather within hosts, DCN
+    between). On one host this degenerates to (1, n_devices)."""
+    devices = devices if devices is not None else jax.devices()
+    n_hosts = max(1, len({d.process_index for d in devices}))
+    per_host = len(devices) // n_hosts
+    grid = np.asarray(devices).reshape(n_hosts, per_host)
+    return Mesh(grid, ("dcn", "ici"))
+
+
 def sharded_batch_posteriors(mesh: Mesh, pack, with_mea: bool = True,
                              backend: str = "scan"):
     """Returns fn(xb, yb, lxb, lyb) -> (post, ea) with the pair axis

@@ -58,29 +58,68 @@ class MPC:
         self.dist_mx: np.ndarray | None = None
 
     # ------------------------------------------------------------------
-    def run(self, input_seqs: MultiSequence, hp: HMMParams, alpha: str,
-            refine_rng: GlibcRand | None = None) -> MultiSequence:
+    def _prepare(self, input_seqs: MultiSequence):
+        """Derep + pair-grid setup shared by run() and the ensemble
+        replicate batching (pipeline/ensemble_batch.py)."""
         derep = Derep()
         derep.run(input_seqs)
         unique = derep.unique_seqs(input_seqs)
         n = len(unique)
+        labels = unique.labels()
+        if n > 1 and len(set(labels)) != n:
+            raise ValueError("duplicate labels in input")
+        label_to_index = {lb: i for i, lb in enumerate(labels)}
+        # pad to a 128-multiple bucket (lane width; also means families
+        # with similar lengths share one kernel compilation)
+        lmax = max(len(s) for s in unique)
+        pad_to = post_mod.round_up(lmax, 128)
+        pairs = [(x, y) for x in range(n) for y in range(x + 1, n)]
+        return derep, unique, n, labels, label_to_index, pad_to, pairs
+
+    def _tree_from_dist(self, labels, dist_mx):
+        """Guide tree from EA distances (+ optional permutation)."""
+        if self.random_chain_tree:
+            # ablation tree (reference: -randomchaintree,
+            # src/randomchaintree.cpp)
+            from ..tree.randomchain import random_chain_tree
+            return random_chain_tree(labels)
+        if self.guide_tree_in is not None:
+            return self.guide_tree_in
+        d = fix_ea_distmx(dist_mx)
+        tree = upgma5(labels, d, LINKAGE_BIASED)
+        if self.tree_perm and self.tree_perm != "none":
+            from ..tree.permute import perm_tree
+            tree = perm_tree(tree, self.tree_perm)
+        return tree
+
+    def _finish(self, input_seqs, derep, unique, tree, label_to_index,
+                posts, refine_rng):
+        """Join order -> progressive -> refine -> sort -> dupes."""
+        from ..utils import logging as mlog
+        idx1, idx2 = guide_tree_join_order(tree, label_to_index)
+        with mlog.stage("progressive"):
+            msa = progressive_align(unique, idx1, idx2, label_to_index,
+                                    posts)
+        with mlog.stage("refine"):
+            msa = refine(msa, self.refine_iters, label_to_index, posts,
+                         rng=refine_rng)
+        msa = self._sort(msa, unique, tree, label_to_index)
+        dupes = derep.rep_label_to_dupe_labels(input_seqs)
+        if dupes:
+            msa = self._insert_dupes(msa, dupes)
+        return msa
+
+    def run(self, input_seqs: MultiSequence, hp: HMMParams, alpha: str,
+            refine_rng: GlibcRand | None = None) -> MultiSequence:
+        derep, unique, n, labels, label_to_index, pad_to, pairs = \
+            self._prepare(input_seqs)
 
         if n == 1:
             # all sequences identical: output a copy of the input
             return MultiSequence([Sequence(s.label, s.bytes_view())
                                   for s in input_seqs])
 
-        labels = unique.labels()
-        if len(set(labels)) != n:
-            raise ValueError("duplicate labels in input")
-        label_to_index = {lb: i for i, lb in enumerate(labels)}
-
         pack = hp.to_scores()
-        # pad to a 128-multiple bucket (lane width; also means families
-        # with similar lengths share one kernel compilation)
-        lmax = max(len(s) for s in unique)
-        pad_to = post_mod.round_up(lmax, 128)
-        pairs = [(x, y) for x in range(n) for y in range(x + 1, n)]
 
         # posteriors are computed AND kept on device in the fixed-K
         # sparse layout (ops/sparse.py): the dense (P, L, L) readback
@@ -116,19 +155,7 @@ class MPC:
         self.dist_mx = post_mod.ea_dist_matrix(n, pairs, ea)
 
         # guide tree BEFORE consistency (reference: src/mpcflat.cpp:306-310)
-        if self.random_chain_tree:
-            # ablation tree (reference: -randomchaintree,
-            # src/randomchaintree.cpp)
-            from ..tree.randomchain import random_chain_tree
-            tree = random_chain_tree(labels)
-        elif self.guide_tree_in is not None:
-            tree = self.guide_tree_in
-        else:
-            d = fix_ea_distmx(self.dist_mx)
-            tree = upgma5(labels, d, LINKAGE_BIASED)
-            if self.tree_perm and self.tree_perm != "none":
-                from ..tree.permute import perm_tree
-                tree = perm_tree(tree, self.tree_perm)
+        tree = self._tree_from_dist(labels, self.dist_mx)
         self.guide_tree = tree
 
         # consistency transform (device, blocked over the sparse store)
@@ -151,20 +178,8 @@ class MPC:
                              cols_np[i, :lens[x]], int(lens[y]))
         del vals_np, cols_np
 
-        idx1, idx2 = guide_tree_join_order(tree, label_to_index)
-        with mlog.stage("progressive"):
-            msa = progressive_align(unique, idx1, idx2, label_to_index,
-                                    posts)
-        with mlog.stage("refine"):
-            msa = refine(msa, self.refine_iters, label_to_index, posts,
-                         rng=refine_rng)
-
-        msa = self._sort(msa, unique, tree, label_to_index)
-
-        dupes = derep.rep_label_to_dupe_labels(input_seqs)
-        if dupes:
-            msa = self._insert_dupes(msa, dupes)
-        return msa
+        return self._finish(input_seqs, derep, unique, tree,
+                            label_to_index, posts, refine_rng)
 
     # ------------------------------------------------------------------
     @staticmethod

@@ -129,9 +129,11 @@ def all_pairs_posteriors(codes: np.ndarray, lens: np.ndarray,
                 full = ch + [ch[0]] * (b - len(ch))
                 xi = np.array([pairs[t][0] for t in full])
                 yi = np.array([pairs[t][1] for t in full])
-                _, ea = fn(jnp.asarray(codes[xi, :lb]),
-                           jnp.asarray(codes[yi, :lb]),
-                           jnp.asarray(lens[xi]), jnp.asarray(lens[yi]))
+                from ..utils.devretry import call_with_retry
+                _, ea = call_with_retry(
+                    fn, jnp.asarray(codes[xi, :lb]),
+                    jnp.asarray(codes[yi, :lb]),
+                    jnp.asarray(lens[xi]), jnp.asarray(lens[yi]))
                 ea_out[np.array(ch)] = np.asarray(ea)[:len(ch)]
         return None, ea_out
 
@@ -243,7 +245,8 @@ def _sparse_store_loop(make_fn, chunk_args_fn, pairs, lens, b, k,
             full = ch + [ch[0]] * (b - len(ch))
             xi = np.array([pairs[t][0] for t in full])
             yi = np.array([pairs[t][1] for t in full])
-            post, ea = fn(*chunk_args_fn(xi, yi, lb))
+            from ..utils.devretry import call_with_retry
+            post, ea = call_with_retry(fn, *chunk_args_fn(xi, yi, lb))
             store_v, store_c, store_ea, max_nnz = absorb(
                 store_v, store_c, store_ea, max_nnz, post, ea,
                 jnp.asarray(np.array(full, np.int32)), kk=k)
@@ -312,6 +315,97 @@ def _long_pairs_sparse(codes, lens, pack, pairs, k):
         # per row); report the stored max
         max_nnz = max(max_nnz, int((vals > 0).sum(axis=1).max()))
     return jnp.asarray(sv), jnp.asarray(sc), ea, max_nnz
+
+
+def ensemble_pairs_posteriors_sparse(codes: np.ndarray, lens: np.ndarray,
+                                     packs, pairs: list[tuple[int, int]],
+                                     batch_size: int = 32, k: int = 32,
+                                     backend: str = "auto",
+                                     with_mea: bool = True):
+    """Pair grids of R differently-parameterized HMMs in ONE device
+    stream (ensemble replicate batching, SURVEY §7: replicates are
+    embarrassingly parallel — run them as the outer batch axis).
+
+    packs: R ScorePacks (e.g. one per perturbation seed). Every (rep,
+    pair) combination becomes one batch lane carrying its own score
+    tables, so chunks mix replicates and the device stays saturated even
+    when one replicate's pair count is small.
+
+    Returns (vals (R, P+1, L, K) device, cols device, ea (R, P) numpy,
+    max_nnz); each replicate's trailing row is its consistency dump
+    slot.
+    """
+    import jax
+    from ..ops import sparse as sp
+
+    if backend == "auto":
+        backend = default_backend()
+    r_count = len(packs)
+    n_pairs = len(pairs)
+    l_full = codes.shape[1]
+    if l_full > LONG_PAIR_THRESHOLD:
+        raise ValueError("ensemble batching requires L <= %d"
+                         % LONG_PAIR_THRESHOLD)
+
+    # stacked per-replicate tables (device-resident once)
+    match_s = jnp.asarray(np.stack([p.match for p in packs]))
+    insert_s = jnp.asarray(np.stack([p.insert for p in packs]))
+    start_s = jnp.asarray(np.stack([p.start for p in packs]))
+    tv_s = jnp.stack([pairhmm._trans_vec(p) for p in packs])
+
+    if backend == "pallas":
+        from ..ops.pairhmm_pallas import batch_posteriors_pallas_multi \
+            as multi_fn
+    else:
+        multi_fn = pairhmm.batch_posteriors_multi
+
+    cj = jnp.asarray(codes)
+    lj = jnp.asarray(lens)
+
+    store_v = jnp.zeros((r_count, n_pairs + 1, l_full, k), jnp.float32)
+    store_c = jnp.full((r_count, n_pairs + 1, l_full, k), -1, jnp.int32)
+    store_ea = jnp.zeros((r_count, n_pairs), jnp.float32)
+    max_nnz = jnp.zeros((), jnp.int32)
+
+    @partial(jax.jit, donate_argnames=("sv", "sc", "se", "mx"),
+             static_argnames=("kk",))
+    def absorb(sv, sc, se, mx, post, ea, ri, pi, kk):
+        vals, cols, nnz = sp.sparsify(post, kk)
+        lb = post.shape[1]
+        if lb < l_full:
+            vals = jnp.pad(vals, ((0, 0), (0, l_full - lb), (0, 0)))
+            cols = jnp.pad(cols, ((0, 0), (0, l_full - lb), (0, 0)),
+                           constant_values=-1)
+        sv = sv.at[ri, pi].set(vals)
+        sc = sc.at[ri, pi].set(cols)
+        se = se.at[ri, pi].set(ea)
+        return sv, sc, se, jnp.maximum(mx, nnz)
+
+    # entries (rep, pair_index); same lengths per replicate, so bucket
+    # by pair then replicate-major within a bucket
+    buckets = _bucketize(pairs, lens, l_full) or \
+        [(l_full, list(range(n_pairs)))]
+    b0 = _pick_chunk(batch_size, r_count * n_pairs, backend, 1)
+    for lb, idxs in buckets:
+        entries = [(r, pi) for r in range(r_count) for pi in idxs]
+        b = _clamp_chunk_by_len(b0, lb)
+        for lo in range(0, len(entries), b):
+            ch = entries[lo:lo + b]
+            full = ch + [ch[0]] * (b - len(ch))
+            ri = np.array([t[0] for t in full], np.int32)
+            pi = np.array([t[1] for t in full], np.int32)
+            xi = np.array([pairs[t][0] for t in pi])
+            yi = np.array([pairs[t][1] for t in pi])
+            rij = jnp.asarray(ri)
+            from ..utils.devretry import call_with_retry
+            post, ea = call_with_retry(
+                multi_fn, cj[xi, :lb], cj[yi, :lb], lj[xi], lj[yi],
+                match_s[rij], insert_s[rij], start_s[rij], tv_s[rij],
+                with_mea=with_mea)
+            store_v, store_c, store_ea, max_nnz = absorb(
+                store_v, store_c, store_ea, max_nnz, post, ea,
+                rij, jnp.asarray(pi), kk=k)
+    return store_v, store_c, np.asarray(store_ea), int(max_nnz)
 
 
 def ea_dist_matrix(n: int, pairs: list[tuple[int, int]], ea: np.ndarray

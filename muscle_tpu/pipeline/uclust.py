@@ -121,13 +121,11 @@ class UClust:
         ea_cache: dict[tuple[int, int], float] = {}
 
         from ..utils import logging as mlog
-        done = 0
         queue = order
         while queue:
             wave, queue = queue[:self.wave_size], queue[self.wave_size:]
-            done += len(wave)
-            mlog.log("UCLUST wave: %d/%d queries, %d centroids",
-                     done, n, len(centroid_indexes))
+            mlog.log("UCLUST wave: %d queued (of %d), %d centroids",
+                     len(queue) + len(wave), n, len(centroid_indexes))
             # speculate candidates from the current index; batch-verify
             # every unknown (query, candidate) EA in one device pass
             spec = {si: [c for c, _ in index.search(codes[si])][:MAX_REJECTS]
