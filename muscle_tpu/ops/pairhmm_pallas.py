@@ -102,7 +102,7 @@ def _shift_fill(x, fill):
     return jnp.where(lane == 0, fill, rolled)
 
 
-def _affine_scan(a, c, width, max_k=None):
+def _affine_scan(a, c, width, max_k=None, log_add_fn=None):
     """Inclusive scan of T_j(u) = LOG_ADD(u + a_j, c_j) with u_0 = -inf.
 
     Returns u_j = C_j of the composed transform. Hillis-Steele over
@@ -125,7 +125,7 @@ def _affine_scan(a, c, width, max_k=None):
         valid = lane >= k
         a_prev = jnp.where(valid, a_s, 0.0)
         c_prev = jnp.where(valid, c_s, NEG_BIG)
-        c = _log_add(c_prev + a, c)
+        c = (log_add_fn or _log_add)(c_prev + a, c)
         a = a + a_prev
         k *= 2
     return c
@@ -149,6 +149,49 @@ def _affine_scan2(a1, c1, a2, c2, width, max_k=None):
     a = jnp.concatenate([a1, a2], axis=0)
     c = jnp.concatenate([c1, c2], axis=0)
     c = _affine_scan(a, c, width, max_k)
+    return c[:p], c[p:]
+
+
+# Least-squares degree-8 fit of log(1 + e^x) on [0, 7.5]: max error
+# 8.3e-5 vs exact, where the reference's 4-segment cubic is 2.6e-4
+# (src/scoretype.h:100-109). One Horner chain, NO per-segment
+# coefficient selection — the selection (3 compares + 12 selects per
+# LOG_ADD) dominated the scan's per-round cost. Used only inside the
+# within-row scans ("poly" impl), whose LOG_ADD association already
+# differs from the reference's sequential order; the M/IX/JX updates
+# keep the reference cubic for closest tracking.
+#
+# (A log-cumsum-exp scan via MXU triangular-matmul prefix sums was
+# tried and REMOVED: any global/block max scaling floors the log-sum
+# for prefixes before the row's peak — measured +40 log-unit
+# overestimates that corrupt posteriors. The log-semiring scan is the
+# numerically sound parallel form.)
+_P8 = (-6.73338208e-07, 2.39144278e-05, -3.51821887e-04, 2.68814008e-03,
+       -1.01874083e-02, 4.79808334e-03, 1.22831020e-01, 5.00330250e-01,
+       6.93143978e-01)
+
+
+def _logexp1_poly8(x):
+    r = jnp.float32(_P8[0])
+    for c in _P8[1:]:
+        r = r * x + c
+    return r
+
+
+def _log_add_p(x, y):
+    hi = jnp.maximum(x, y)
+    lo = jnp.minimum(x, y)
+    d = jnp.minimum(hi - lo, LOG_UNDERFLOW)
+    small = (lo <= LOG_ZERO) | (d >= LOG_UNDERFLOW)
+    return jnp.where(small, hi, lo + _logexp1_poly8(d))
+
+
+def _affine_scan2_poly(a1, c1, a2, c2, width, max_k=None):
+    """_affine_scan2 with the selection-free degree-8 LOG_ADD."""
+    p = a1.shape[0]
+    a = jnp.concatenate([a1, a2], axis=0)
+    c = jnp.concatenate([c1, c2], axis=0)
+    c = _affine_scan(a, c, width, max_k, log_add_fn=_log_add_p)
     return c[:p], c[p:]
 
 
@@ -189,7 +232,7 @@ def _emission_row(xm_ref, oy_ref, kk):
     return e
 
 
-def _fwd_kernel(scan_k, n_rows, kk, params, *refs):
+def _fwd_kernel(scan_k, n_rows, kk, impl, params, *refs):
     """Grid step i computes DP row i+1; scratch carries row i.
 
     Refs (row-major layouts put the large axes in the tiled minor
@@ -281,9 +324,10 @@ def _fwd_kernel(scan_k, n_rows, kk, params, *refs):
 
     # IY/JY rows: affine recurrence along lanes (fused into one scan)
     m_sh = _shift_fill(m_new, LOG_ZERO)
-    iy_new, jy_new = _affine_scan2(insy + tII, m_sh + tMI + insy,
-                                   insy + tJJ, m_sh + tMJ + insy, L,
-                                   max_k=scan_k)
+    scan2 = _affine_scan2_poly if impl == "poly" else _affine_scan2
+    iy_new, jy_new = scan2(insy + tII, m_sh + tMI + insy,
+                           insy + tJJ, m_sh + tMJ + insy, L,
+                           max_k=scan_k)
 
     m_s[:, :] = m_new
     ix_s[:, :] = ix_new
@@ -328,7 +372,7 @@ def _fwd_kernel(scan_k, n_rows, kk, params, *refs):
 # Backward kernel (forward-style over reversed sequences)
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(scan_k, kk, params, *refs):
+def _bwd_kernel(scan_k, kk, impl, params, *refs):
     """Grid step u computes RB row u; m_out row u holds RB_M(u, v) for
     v = 0..L-1 (column v=0 included via the shifted write). kk dispatch
     as in _fwd_kernel (None = streamed emission row, K = fused).
@@ -402,9 +446,10 @@ def _bwd_kernel(scan_k, kk, params, *refs):
         jx0_new = tJJ + jx0_p + insx
         m0_new = _log_add(tMI + ix0_p + insx, tMJ + jx0_p + insx)
 
-        iy_new, jy_new = _affine_scan2(insy + tII, tIM + next_m,
-                                       insy + tJJ, tJM + next_m, L,
-                                       max_k=scan_k)
+        scan2 = _affine_scan2_poly if impl == "poly" else _affine_scan2
+        iy_new, jy_new = scan2(insy + tII, tIM + next_m,
+                               insy + tJJ, tJM + next_m, L,
+                               max_k=scan_k)
 
         next_iy = _shift_fill(iy_new, LOG_ZERO) + insy
         next_jy = _shift_fill(jy_new, LOG_ZERO) + insy
@@ -472,14 +517,14 @@ def _round_up(x, m):
 
 
 def _fwd_pallas(e_t, insx_t, insy, lymask, lxf, params, tile_p,
-                scan_k=None):
+                scan_k=None, impl="hillis"):
     """e_t: (Lx, B, Ly) emission lattice; insx_t: (Lx, B, 1) per-row x
     insert scores; lxf: (B, 128) float lx broadcast. Returns
     ((Lx, B, Ly) M lattice, (B, 128) final states at (lx, ly))."""
     lx, b, ly = e_t.shape
     grid = (b // tile_p, lx)
     m_lat, sly = pl.pallas_call(
-        partial(_fwd_kernel, scan_k, lx, None),
+        partial(_fwd_kernel, scan_k, lx, None, impl),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_p, 16), lambda t, i: (t, 0),
@@ -513,14 +558,14 @@ def _fwd_pallas(e_t, insx_t, insy, lymask, lxf, params, tile_p,
 
 
 def _bwd_pallas(e_rev_t, insx_rev_t, insy_rev, params, tile_p,
-                scan_k=None):
+                scan_k=None, impl="hillis"):
     """e_rev_t: (Lx, B, Ly) reversed emission lattice; insx_rev_t:
     (Lx, B, 1) reversed x insert scores. Returns the (Lx, B, Ly) RB_M
     lattice (row u, cols v=0..Ly-1)."""
     lx, b, ly = e_rev_t.shape
     grid = (b // tile_p, lx)
     m_lat = pl.pallas_call(
-        partial(_bwd_kernel, scan_k, None),
+        partial(_bwd_kernel, scan_k, None, impl),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_p, 16), lambda t, i: (t, 0),
@@ -546,7 +591,7 @@ def _bwd_pallas(e_rev_t, insx_rev_t, insy_rev, params, tile_p,
 
 
 def _fwd_pallas_fused(xm_t, oy, insx_t, insy, lymask, lxf, params,
-                      tile_p, kk, scan_k=None):
+                      tile_p, kk, scan_k=None, impl="hillis"):
     """Fused-emission forward: xm_t (Lx, B, 128) streamed match-score
     rows (lanes 0..kk-1 valid), oy (B, KP, Ly) persistent one-hot of y.
     Returns ((Lx, B, Ly) M lattice, (B, 128) final states)."""
@@ -554,7 +599,7 @@ def _fwd_pallas_fused(xm_t, oy, insx_t, insy, lymask, lxf, params,
     kp, ly = oy.shape[1], oy.shape[2]
     grid = (b // tile_p, lx)
     m_lat, sly = pl.pallas_call(
-        partial(_fwd_kernel, scan_k, lx, kk),
+        partial(_fwd_kernel, scan_k, lx, kk, impl),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_p, 16), lambda t, i: (t, 0),
@@ -590,13 +635,13 @@ def _fwd_pallas_fused(xm_t, oy, insx_t, insy, lymask, lxf, params,
 
 
 def _bwd_pallas_fused(xm_rev_t, oy_rev, insx_rev_t, insy_rev, params,
-                      tile_p, kk, scan_k=None):
+                      tile_p, kk, scan_k=None, impl="hillis"):
     """Fused-emission backward (forward-style over reversed seqs)."""
     lx, b, _ = xm_rev_t.shape
     kp, ly = oy_rev.shape[1], oy_rev.shape[2]
     grid = (b // tile_p, lx)
     m_lat = pl.pallas_call(
-        partial(_bwd_kernel, scan_k, kk),
+        partial(_bwd_kernel, scan_k, kk, impl),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_p, 16), lambda t, i: (t, 0),
@@ -638,6 +683,14 @@ def mea_scores_pallas(post_t, tile_p=8):
     return out[:, 0]
 
 
+# scan implementation for the IY/JY within-row recurrence:
+#   "hillis" — log-semiring Hillis-Steele, reference-cubic LOG_ADD
+#   "poly"   — same scan, selection-free degree-8 LOG_ADD (_log_add_p)
+# env override for A/B benchmarking; see tools/validate_pallas.py
+import os as _os
+SCAN_IMPL = _os.environ.get("MUSCLE_TPU_SCAN_IMPL", "hillis")
+
+
 _VMEM_BUDGET = 14 * 2 ** 20   # bytes of VMEM the kernel may plan for
 
 
@@ -658,12 +711,14 @@ def _pick_tile_p(b: int, ly: int | None = None, kp: int = 0) -> int:
     return 8 if b % 8 == 0 else 1
 
 
-@partial(jax.jit, static_argnames=("with_mea", "tile_p", "scan_k"))
+@partial(jax.jit,
+         static_argnames=("with_mea", "tile_p", "scan_k", "scan_impl"))
 def batch_posteriors_pallas_emissions(e, e_rev, ins_x, ins_y, ins_xr,
                                       ins_yr, lxb, lyb, start, tv,
                                       with_mea: bool = True,
                                       tile_p: int | None = None,
-                                      scan_k: int | None = None):
+                                      scan_k: int | None = None,
+                                      scan_impl: str | None = None):
     """Pallas posterior path from precomputed emission matrices —
     shared by the letter pair-HMM and the Muscle-3D profile HMM."""
     b, bx, by = e.shape
@@ -676,12 +731,13 @@ def batch_posteriors_pallas_emissions(e, e_rev, ins_x, ins_y, ins_xr,
 
     params = _params_rows(start, tv, b)
 
+    impl = scan_impl or SCAN_IMPL
     fm_t, f_end5 = _fwd_pallas(e.transpose(1, 0, 2),
                                ins_x.T[:, :, None], ins_y, lymask, lxf,
-                               params, tile_p, scan_k)
+                               params, tile_p, scan_k, impl)
     rbm_t = _bwd_pallas(e_rev.transpose(1, 0, 2),
                         ins_xr.T[:, :, None], ins_yr,
-                        params, tile_p, scan_k)
+                        params, tile_p, scan_k, impl)
     return _finish_posteriors(fm_t, rbm_t, f_end5, lxb, lyb, start,
                               with_mea, tile_p)
 
@@ -733,11 +789,13 @@ def pack_scan_k(pack):
     return None
 
 
-@partial(jax.jit, static_argnames=("with_mea", "tile_p", "scan_k"))
+@partial(jax.jit,
+         static_argnames=("with_mea", "tile_p", "scan_k", "scan_impl"))
 def batch_posteriors_pallas(xb, yb, lxb, lyb, match, insert, start, tv,
                             with_mea: bool = True,
                             tile_p: int | None = None,
-                            scan_k: int | None = None):
+                            scan_k: int | None = None,
+                            scan_impl: str | None = None):
     """Drop-in Pallas equivalent of ops.pairhmm.batch_posteriors.
 
     xb/yb must be padded to a 128-multiple length and B must be a
@@ -776,22 +834,25 @@ def batch_posteriors_pallas(xb, yb, lxb, lyb, match, insert, start, tv,
 
     params = _params_rows(start, tv, b)
 
+    impl = scan_impl or SCAN_IMPL
     fm_t, f_end5 = _fwd_pallas_fused(
         xmt(xb), oyt(yb), insert[xb].T[:, :, None], insert[yb],
-        lymask, lxf, params, tile_p, kk, scan_k)
+        lymask, lxf, params, tile_p, kk, scan_k, impl)
     rbm_t = _bwd_pallas_fused(
         xmt(xr), oyt(yr), insert[xr].T[:, :, None], insert[yr],
-        params, tile_p, kk, scan_k)
+        params, tile_p, kk, scan_k, impl)
     return _finish_posteriors(fm_t, rbm_t, f_end5, lxb, lyb, start,
                               with_mea, tile_p)
 
 
-@partial(jax.jit, static_argnames=("with_mea", "tile_p", "scan_k"))
+@partial(jax.jit,
+         static_argnames=("with_mea", "tile_p", "scan_k", "scan_impl"))
 def batch_posteriors_pallas_multi(xb, yb, lxb, lyb, match_b, insert_b,
                                   start_b, tv_b,
                                   with_mea: bool = True,
                                   tile_p: int | None = None,
-                                  scan_k: int | None = None):
+                                  scan_k: int | None = None,
+                                  scan_impl: str | None = None):
     """batch_posteriors_pallas with per-pair score tables — match_b
     (B, K+1, K+1), insert_b (B, K+1), start_b (B, 5), tv_b (B, 7).
 
@@ -828,12 +889,13 @@ def batch_posteriors_pallas_multi(xb, yb, lxb, lyb, match_b, insert_b,
     lxf = jnp.broadcast_to(lxb.astype(jnp.float32)[:, None], (b, 128))
     params = _params_rows_multi(start_b, tv_b)
 
+    impl = scan_impl or SCAN_IMPL
     fm_t, f_end5 = _fwd_pallas_fused(
         xmt(xb), oyt(yb), ins(xb).T[:, :, None], ins(yb),
-        lymask, lxf, params, tile_p, kk, scan_k)
+        lymask, lxf, params, tile_p, kk, scan_k, impl)
     rbm_t = _bwd_pallas_fused(
         xmt(xr), oyt(yr), ins(xr).T[:, :, None], ins(yr),
-        params, tile_p, kk, scan_k)
+        params, tile_p, kk, scan_k, impl)
     return _finish_posteriors_multi(fm_t, rbm_t, f_end5, lxb, lyb,
                                     start_b, with_mea, tile_p)
 

@@ -1,0 +1,77 @@
+"""RdRp scale tier (reference: test_scripts/run_rdrp_seqs.bash —
+`-super5` on test_data/rdrp/rdrp.fa, 4,528 viral RdRp sequences).
+
+The full 4.5k-sequence workload runs on real TPU hardware via
+tools/run_rdrp.py (wall-clock documented in docs/PARITY.md). This slow
+tier keeps a BOUNDED subset of the same pipeline under pytest so a
+regression in Super5-at-scale machinery (UCLUST candidate batching,
+EACluster, consensus distances, PProg joins, TransAln extension) fails
+the suite rather than only the multi-hour run.
+
+Gate: output contains exactly the input sequences (the reference's own
+AssertSameSeqs invariant, src/super5.cpp:390,430) and, when the
+committed reference-binary golden exists, Q-agreement >= 0.9 with it.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from muscle_tpu.qscore import qscore
+from muscle_tpu.sequence import MultiSequence
+
+RDRP_FA = "/root/reference/test_data/rdrp/rdrp.fa"
+GOLDEN = os.path.join(os.path.dirname(__file__), "goldens",
+                      "rdrp_sub16.super5.afa")
+SUBSET_N = 16
+
+needs_rdrp = pytest.mark.skipif(not os.path.exists(RDRP_FA),
+                                reason="rdrp test data not available")
+
+
+def _subset(n=SUBSET_N):
+    """Deterministic spread subset: every k-th sequence by input order
+    (diverse lengths/families, stable across runs)."""
+    ms = MultiSequence.from_fasta(RDRP_FA)
+    step = len(ms) // n
+    return MultiSequence([ms[i * step] for i in range(n)])
+
+
+@pytest.mark.slow
+@needs_rdrp
+def test_rdrp_subset_super5():
+    from muscle_tpu.pipeline.super5 import super5
+
+    seqs = _subset()
+    msa = super5(seqs, refine_iters=10)
+
+    # the reference's AssertSeqsEqInput invariant
+    assert sorted(s.label for s in msa) == sorted(s.label for s in seqs)
+    degapped = {s.label: s.text().replace("-", "") for s in msa}
+    for s in seqs:
+        assert degapped[s.label] == s.text()
+    assert msa.is_aligned()
+
+    if os.path.exists(GOLDEN):
+        ref = MultiSequence.from_fasta(GOLDEN)
+        q, _tc = qscore(msa, ref)
+        assert q >= 0.9, f"Q-agreement vs reference binary = {q:.3f}"
+
+
+@pytest.mark.slow
+@needs_rdrp
+def test_rdrp_subset_mpc_full():
+    """Full MPC (no Super5 clustering) on a larger subset — the round-1
+    review's OOM configuration class (N=64 died RESOURCE_EXHAUSTED on a
+    16 GB chip with dense consistency; the fixed-K sparse store must
+    handle it)."""
+    import jax
+
+    n = 64 if jax.default_backend() != "cpu" else 24
+    from muscle_tpu.pipeline.mpc import align
+
+    seqs = _subset(n)
+    msa = align(seqs, refine_iters=5)
+    assert sorted(s.label for s in msa) == sorted(s.label for s in seqs)
+    assert msa.is_aligned()

@@ -63,11 +63,7 @@ e, e_rev, insx, insy, insxr, insyr = jax.block_until_ready(
 ii = jnp.arange(L)
 lymask = (ii[None, :] == (lb[:, None] - 1)).astype(jnp.float32)
 lxf = jnp.broadcast_to(lb.astype(jnp.float32)[:, None], (B, 128))
-params = jnp.zeros((1, 16), jnp.float32)
-params = params.at[0, pp.P_TSM].set(start[0])
-params = params.at[0, pp.P_TSI].set(start[1])
-params = params.at[0, pp.P_TSJ].set(start[3])
-params = params.at[0, 3:10].set(tv[:7])
+params = jnp.asarray(pp._params_rows(start, tv, B))
 
 e_t = jnp.asarray(e.transpose(1, 0, 2))
 er_t = jnp.asarray(e_rev.transpose(1, 0, 2))
