@@ -152,16 +152,23 @@ def _block_core(vals, cols, pid_rows, flag_rows, pid_cols, flag_cols,
     block's new pattern values (bx*by, L, K).
     """
     nb = pid_rows.shape[1]
+    kk = vals.shape[2]
     eye = jnp.eye(l, dtype=jnp.float32)
-    ri = jnp.arange(l)[None, :, None]
+    jcol = jnp.arange(l)[None, None, :]
 
     def densify_panel(ids, flags):
-        # ids, flags: (r*c,) -> (r*c, l, l)
+        # ids, flags: (r*c,) -> (r*c, l, l). Expansion runs as a static
+        # K-pass compare-accumulate instead of a scatter-add: TPU
+        # scatters serialize (~1e7-1e8 elem/s) and dominated the whole
+        # consistency stage (measured 79s at N=83, ~13x over the
+        # matmul+bandwidth bound); K fused compare+fma passes are plain
+        # VPU work.
         v = jnp.where(cols[ids] >= 0, vals[ids], 0.0)
-        c = jnp.where(cols[ids] >= 0, cols[ids], 0)
+        c = cols[ids]
         m = ids.shape[0]
         d = jnp.zeros((m, l, l), jnp.float32)
-        d = d.at[jnp.arange(m)[:, None, None], ri, c].add(v)
+        for k in range(kk):
+            d = d + v[:, :, k:k + 1] * (c[:, :, k:k + 1] == jcol)
         d = jnp.where((flags == FLAG_TRANS)[:, None, None],
                       jnp.swapaxes(d, -1, -2), d)
         d = jnp.where((flags == FLAG_EYE)[:, None, None], eye[None], d)

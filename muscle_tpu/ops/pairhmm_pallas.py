@@ -195,6 +195,69 @@ def _affine_scan2_poly(a1, c1, a2, c2, width, max_k=None):
     return c[:p], c[p:]
 
 
+_SEG = 64   # segment width for the two-level scan
+
+
+def _affine_scan_seg(a, c, width, log_add_fn):
+    """Two-level affine scan: log2(SEG) masked Hillis-Steele rounds
+    within SEG-lane segments, a tiny sequential carry chain over the
+    width/SEG segment transforms, then ONE combine LOG_ADD per lane.
+    Rounds drop from log2(L) to log2(SEG)+1 — at L=2048 that is 7 vs
+    11 LOG_ADD+roll rounds per state per row."""
+    seg = min(_SEG, width)
+    lane = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
+    seg_pos = lane - (lane // seg) * seg     # lane index within segment
+    k = 1
+    while k < seg:
+        a_s = pltpu.roll(a, k, 1)
+        c_s = pltpu.roll(c, k, 1)
+        valid = seg_pos >= k
+        a_prev = jnp.where(valid, a_s, 0.0)
+        c_prev = jnp.where(valid, c_s, NEG_BIG)
+        c = log_add_fn(c_prev + a, c)
+        a = a + a_prev
+        k *= 2
+    n_seg = width // seg
+    if n_seg <= 1:
+        return c
+    # carry chain over segment-total transforms (A_s, C_s) — (2P, 1)
+    # scalars per segment, sequential but tiny
+    carry_a = jnp.zeros_like(a[:, :1])
+    carry_c = jnp.full_like(a[:, :1], NEG_BIG)
+    carries = [carry_c]
+    for s in range(n_seg - 1):
+        tot_a = a[:, (s + 1) * seg - 1:(s + 1) * seg]
+        tot_c = c[:, (s + 1) * seg - 1:(s + 1) * seg]
+        carry_c = log_add_fn(carry_c + tot_a, tot_c)
+        carries.append(carry_c)
+    carry_vec = jnp.concatenate(
+        [jnp.broadcast_to(cc, (a.shape[0], seg)) for cc in carries],
+        axis=1)
+    return log_add_fn(carry_vec + a, c)
+
+
+def _affine_scan2_seg(a1, c1, a2, c2, width, max_k=None,
+                      log_add_fn=None):
+    p = a1.shape[0]
+    a = jnp.concatenate([a1, a2], axis=0)
+    c = jnp.concatenate([c1, c2], axis=0)
+    c = _affine_scan_seg(a, c, width, log_add_fn or _log_add)
+    return c[:p], c[p:]
+
+
+def _affine_scan2_segpoly(a1, c1, a2, c2, width, max_k=None):
+    return _affine_scan2_seg(a1, c1, a2, c2, width, max_k,
+                             log_add_fn=_log_add_p)
+
+
+_SCAN2_IMPLS = {
+    "hillis": _affine_scan2,
+    "poly": _affine_scan2_poly,
+    "seg": _affine_scan2_seg,
+    "segpoly": _affine_scan2_segpoly,
+}
+
+
 def _cumsum_lanes(x, width):
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     k = 1
@@ -324,7 +387,7 @@ def _fwd_kernel(scan_k, n_rows, kk, impl, params, *refs):
 
     # IY/JY rows: affine recurrence along lanes (fused into one scan)
     m_sh = _shift_fill(m_new, LOG_ZERO)
-    scan2 = _affine_scan2_poly if impl == "poly" else _affine_scan2
+    scan2 = _SCAN2_IMPLS.get(impl, _affine_scan2)
     iy_new, jy_new = scan2(insy + tII, m_sh + tMI + insy,
                            insy + tJJ, m_sh + tMJ + insy, L,
                            max_k=scan_k)
@@ -446,7 +509,7 @@ def _bwd_kernel(scan_k, kk, impl, params, *refs):
         jx0_new = tJJ + jx0_p + insx
         m0_new = _log_add(tMI + ix0_p + insx, tMJ + jx0_p + insx)
 
-        scan2 = _affine_scan2_poly if impl == "poly" else _affine_scan2
+        scan2 = _SCAN2_IMPLS.get(impl, _affine_scan2)
         iy_new, jy_new = scan2(insy + tII, tIM + next_m,
                                insy + tJJ, tJM + next_m, L,
                                max_k=scan_k)

@@ -17,6 +17,11 @@ from . import logging as mlog
 _TRANSIENT_MARKERS = (
     "remote_compile", "read body", "connection reset", "socket closed",
     "unavailable", "deadline exceeded", "failed precondition: the tpu",
+    # on a shared/tunneled chip, OOM is most often another client's
+    # transient allocation (observed: a second process merely *listing*
+    # devices reserves HBM and kills a long run mid-consistency);
+    # backing off and re-issuing recovers once the intruder exits
+    "resource_exhausted", "resource exhausted",
 )
 
 
@@ -25,7 +30,7 @@ def is_transient(exc: Exception) -> bool:
     return any(m in s for m in _TRANSIENT_MARKERS)
 
 
-def call_with_retry(fn, *args, retries: int = 3, base_delay: float = 5.0,
+def call_with_retry(fn, *args, retries: int = 5, base_delay: float = 10.0,
                     **kwargs):
     """fn(*args, **kwargs) with exponential-backoff retries on transient
     device-runtime errors; non-transient errors propagate immediately."""
