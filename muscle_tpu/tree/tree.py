@@ -144,13 +144,48 @@ class Tree:
         finally:
             sys.setrecursionlimit(old)
 
+    def to_newick_muscle(self) -> str:
+        """The reference binary's exact rooted Newick layout (one token
+        per line, %g edge lengths, raw labels — src/treetofile.cpp:
+        ToFileNodeRooted), so -guidetreeout byte-diffs cleanly."""
+        out: list[str] = []
+
+        def rec(node: int) -> None:
+            group = (not self.is_leaf(node)) or node == self.root
+            if group:
+                out.append("(\n")
+            if self.is_leaf(node):
+                out.append(self.labels[node])
+            else:
+                rec(self.left[node])
+                out.append(",\n")
+                rec(self.right[node])
+            if group:
+                out.append(")")
+            if node != self.root:
+                out.append(":%g" % self.length[node])
+            out.append("\n")
+
+        import sys
+        old = sys.getrecursionlimit()
+        sys.setrecursionlimit(max(old, 4 * self.node_count + 100))
+        try:
+            rec(self.root)
+        finally:
+            sys.setrecursionlimit(old)
+        out.append(";\n")
+        return "".join(out)
+
     def to_file(self, path: str) -> None:
         with open(path, "w") as f:
-            f.write(self.to_newick() + "\n")
+            f.write(self.to_newick_muscle())
 
     @classmethod
     def from_newick(cls, text: str) -> "Tree":
-        text = text.strip()
+        # the reference's writer is multi-line (one token per line,
+        # src/treetofile.cpp); labels never contain newlines, so they
+        # can be dropped wholesale (inner spaces ARE label characters)
+        text = text.replace("\n", "").replace("\r", "").strip()
         if text.endswith(";"):
             text = text[:-1]
         pos = 0
