@@ -143,7 +143,7 @@ def _block_maps(n: int, nb: int, dump: int):
 
 def _block_core(vals, cols, pid_rows, flag_rows, pid_cols, flag_cols,
                 pid_out, inv_n, bx: int, by: int, t: int, l: int,
-                precision: str):
+                precision: str, use_pallas: bool = False):
     """One (X-block, Y-block) of the blocked M @ M.
 
     vals/cols: (P+1, L, K) store (dump row last). pid_rows/flag_rows:
@@ -166,9 +166,24 @@ def _block_core(vals, cols, pid_rows, flag_rows, pid_cols, flag_cols,
         v = jnp.where(cols[ids] >= 0, vals[ids], 0.0)
         c = cols[ids]
         m = ids.shape[0]
-        d = jnp.zeros((m, l, l), jnp.float32)
-        for k in range(kk):
-            d = d + v[:, :, k:k + 1] * (c[:, :, k:k + 1] == jcol)
+
+        if use_pallas:
+            # VMEM-resident expansion: K compare+fma passes over
+            # registers, ONE HBM write of the dense slab (ops/sparse.py)
+            from .sparse import densify_pallas
+            d = densify_pallas(v, c, l)
+        else:
+            # CPU/testing fallback: fori_loop (not a Python unroll) —
+            # one (m, l, l) accumulator + one comparison temp live at a
+            # time; an unrolled version made XLA materialize K slabs
+            # per panel and crashed the compile
+            def body(k, d):
+                vk = jax.lax.dynamic_slice_in_dim(v, k, 1, axis=2)
+                ck = jax.lax.dynamic_slice_in_dim(c, k, 1, axis=2)
+                return d + vk * (ck == jcol)
+
+            d = jax.lax.fori_loop(0, kk, body,
+                                  jnp.zeros((m, l, l), jnp.float32))
         d = jnp.where((flags == FLAG_TRANS)[:, None, None],
                       jnp.swapaxes(d, -1, -2), d)
         d = jnp.where((flags == FLAG_EYE)[:, None, None], eye[None], d)
@@ -199,28 +214,48 @@ def _block_core(vals, cols, pid_rows, flag_rows, pid_cols, flag_cols,
     return jnp.where(cxy >= 0, g, 0.0)
 
 
-@partial(jax.jit, static_argnames=("bx", "by", "t", "l", "precision"),
+@partial(jax.jit,
+         static_argnames=("bx", "by", "t", "l", "precision",
+                          "use_pallas"),
          donate_argnames=("out_vals",))
 def _blocks_wave(vals, cols, out_vals, prs, frs, pcs, fcs, pos, inv_n,
-                 bx: int, by: int, t: int, l: int, precision: str):
+                 bx: int, by: int, t: int, l: int, precision: str,
+                 use_pallas: bool = False):
     """A wave of independent blocks, vmapped into ONE dispatch (the
     block axis is also the mesh-sharding axis in the multi-chip path)."""
     k = vals.shape[2]
     newv = jax.vmap(
         lambda pr, fr, pc, fc, po: _block_core(
             vals, cols, pr, fr, pc, fc, po, inv_n,
-            bx=bx, by=by, t=t, l=l, precision=precision)
+            bx=bx, by=by, t=t, l=l, precision=precision,
+            use_pallas=use_pallas)
     )(prs, frs, pcs, fcs, pos)
     # blocks write disjoint pair ids (dump rows excepted, whose value
     # is irrelevant), so scatter order does not matter
     return out_vals.at[pos.reshape(-1)].set(newv.reshape(-1, l, k))
 
 
-def _wave_plan(n, blk, dump):
+def _nb_bucket(n: int, blk: int) -> int:
+    """Pad the Z-panel count to a small ladder so _blocks_wave compiles
+    once per (ladder rung, L) instead of once per exact N — padded
+    panels reference the all-zero dump row and contribute exact zeros
+    (a 159-cluster Super4 run otherwise pays a multi-minute XLA compile
+    per distinct cluster size)."""
+    nb = -(-n // blk) * blk
+    # geometric ladder: blk * {1, 2, 3, 4, 6, 8, 12, 16, ...}
+    steps = [1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128]
+    for st in steps:
+        if blk * st >= nb:
+            return blk * st
+    return nb
+
+
+def _wave_plan(n, blk, dump, nb=None):
     """Host-side block descriptors for one iteration: stacked
     (NB, bx, nb) row maps, (NB, nb, by) col maps, (NB, bx, by) output
     pair ids over the upper-triangular block grid."""
-    nb = -(-n // blk) * blk
+    if nb is None:
+        nb = -(-n // blk) * blk
     pid, flag = _block_maps(n, nb, dump)
     prs, frs, pcs, fcs, pos = [], [], [], [], []
     nblk = nb // blk
@@ -269,23 +304,29 @@ def consistency_sparse(vals, cols, n: int, iters: int, *,
     dump = p1 - 1
     assert n_pairs <= dump
     blk = min(seq_block, max(1, n))
-    nb = -(-n // blk) * blk
-    prs, frs, pcs, fcs, pos = _wave_plan(n, blk, dump)
+    nb = _nb_bucket(n, blk)
+    prs, frs, pcs, fcs, pos = _wave_plan(n, blk, dump, nb)
     nblk_total = prs.shape[0]
     if wave is None:
-        # bound the wave's newv scratch (~wave * blk^2 * L * K floats)
-        wave = max(1, min(nblk_total,
-                          (1 << 28) // max(1, blk * blk * l * k * 4)))
+        # bound the wave's live HBM: per block, two densified
+        # (blk*L, blk*L) z-panels (double/triple-buffered across the
+        # fori accumulate) + the (blk*L, blk*L) accumulator + output
+        # pattern. Each block already saturates the MXU with 8k-sized
+        # matmuls, so small waves cost little parallelism.
+        per_block = (3 * 2 * blk * blk + blk * blk) * l * l * 4
+        wave = max(1, min(nblk_total, (3 << 30) // max(1, per_block)))
     n_dev = 1
     if mesh is not None:
         n_dev = int(np.prod(list(mesh.shape.values())))
         wave = -(-wave // n_dev) * n_dev
     inv_n = jnp.float32(1.0 / n)
 
+    use_pallas = jax.default_backend() not in ("cpu",)
     if mesh is None:
         def run(*args):
             return _blocks_wave(*args, bx=blk, by=blk, t=blk, l=l,
-                                precision=precision)
+                                precision=precision,
+                                use_pallas=use_pallas)
     else:
         from jax.sharding import NamedSharding, PartitionSpec as P
         axis = mesh.axis_names[0]
@@ -297,7 +338,7 @@ def consistency_sparse(vals, cols, n: int, iters: int, *,
                    inv_n_):
             return base(vals_, cols_, out_, prs_, frs_, pcs_, fcs_,
                         pos_, inv_n_, bx=blk, by=blk, t=blk, l=l,
-                        precision=precision)
+                        precision=precision, use_pallas=use_pallas)
 
         run = jax.jit(_fixed, donate_argnums=(2,),
                       in_shardings=(rep, rep, rep, blk_sh, blk_sh,

@@ -29,6 +29,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
 
 DEFAULT_K = 32
 
@@ -85,3 +86,45 @@ def sparsify_np(post: np.ndarray, k: int = DEFAULT_K):
         vals[i, :len(nz)] = post[i][nz]
         cols[i, :len(nz)] = nz
     return vals, cols
+
+
+# ---------------------------------------------------------------------------
+# Pallas densify: fixed-K sparse rows -> dense matrix, VMEM-resident
+# ---------------------------------------------------------------------------
+#
+# The blocked consistency expands sparse z-panels to dense slabs before
+# the MXU contraction. Doing that expansion in XLA costs one full HBM
+# round-trip of the (m, L, L) slab per K-slot (scatter serializes; a
+# fori compare-accumulate re-reads the slab 32x). This kernel builds
+# each dense tile entirely in VMEM — K compare+fma passes over
+# registers — and writes it to HBM exactly once.
+
+def _densify_kernel(kk, v_ref, c_ref, o_ref):
+    j0 = pl.program_id(1) * o_ref.shape[2]
+    jcol = j0 + jax.lax.broadcasted_iota(jnp.int32, o_ref.shape[1:], 1)
+    acc = jnp.zeros(o_ref.shape[1:], jnp.float32)
+    for k in range(kk):
+        acc = acc + v_ref[0, :, k:k + 1] * (c_ref[0, :, k:k + 1] == jcol)
+    o_ref[0] = acc
+
+
+def densify_pallas(vals: jnp.ndarray, cols: jnp.ndarray, l_out: int,
+                   j_tile: int = 512) -> jnp.ndarray:
+    """(m, L, K) fixed-K rows -> (m, L, l_out) dense, on TPU via Pallas.
+
+    Invalid slots (cols == -1) never match a column index and contribute
+    exact zeros. Output column tiling keeps VMEM bounded for long L.
+    """
+    m, l, kk = vals.shape
+    jt = min(j_tile, l_out)
+    assert l_out % jt == 0
+    return pl.pallas_call(
+        partial(_densify_kernel, kk),
+        grid=(m, l_out // jt),
+        in_specs=[
+            pl.BlockSpec((1, l, kk), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, l, kk), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, l, jt), lambda i, j: (i, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((m, l, l_out), jnp.float32),
+    )(vals, cols)

@@ -69,10 +69,12 @@ class MPC:
         if n > 1 and len(set(labels)) != n:
             raise ValueError("duplicate labels in input")
         label_to_index = {lb: i for i, lb in enumerate(labels)}
-        # pad to a 128-multiple bucket (lane width; also means families
-        # with similar lengths share one kernel compilation)
+        # pad to the bucket ladder (not just the next 128-multiple):
+        # Super4/Super7 run MPC once per cluster/shrub, and distinct pad
+        # lengths would each pay the full kernel + consistency compile —
+        # the ladder collapses them to a handful of shapes
         lmax = max(len(s) for s in unique)
-        pad_to = post_mod.round_up(lmax, 128)
+        pad_to = max(128, post_mod._bucket_of(lmax, post_mod.BUCKET_LADDER[-1]))
         pairs = [(x, y) for x in range(n) for y in range(x + 1, n)]
         return derep, unique, n, labels, label_to_index, pad_to, pairs
 
