@@ -116,8 +116,12 @@ def densify_pallas(vals: jnp.ndarray, cols: jnp.ndarray, l_out: int,
     exact zeros. Output column tiling keeps VMEM bounded for long L.
     """
     m, l, kk = vals.shape
-    jt = min(j_tile, l_out)
-    assert l_out % jt == 0
+    jt = l_out
+    for cand in (512, 384, 256, 128):
+        if cand <= min(j_tile, l_out) and l_out % cand == 0:
+            jt = cand
+            break
+    assert l_out % jt == 0, (l_out, jt)
     return pl.pallas_call(
         partial(_densify_kernel, kk),
         grid=(m, l_out // jt),

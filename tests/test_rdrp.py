@@ -44,7 +44,10 @@ def test_rdrp_subset_super5():
     from muscle_tpu.pipeline.super5 import super5
 
     seqs = _subset()
-    msa = super5(seqs, refine_iters=10)
+    # default refine iters: the committed golden is the reference
+    # binary's default-config output, and ours matches it EXACTLY
+    # (Q = TC = 1.0 measured); fewer iterations drift below the gate
+    msa = super5(seqs)
 
     # the reference's AssertSeqsEqInput invariant
     assert sorted(s.label for s in msa) == sorted(s.label for s in seqs)
@@ -56,7 +59,7 @@ def test_rdrp_subset_super5():
     if os.path.exists(GOLDEN):
         ref = MultiSequence.from_fasta(GOLDEN)
         q, _tc = qscore(msa, ref)
-        assert q >= 0.9, f"Q-agreement vs reference binary = {q:.3f}"
+        assert q >= 0.98, f"Q-agreement vs reference binary = {q:.3f}"
 
 
 @pytest.mark.slow
