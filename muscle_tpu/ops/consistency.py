@@ -152,38 +152,31 @@ def _block_core(vals, cols, pid_rows, flag_rows, pid_cols, flag_cols,
     block's new pattern values (bx*by, L, K).
     """
     nb = pid_rows.shape[1]
-    kk = vals.shape[2]
     eye = jnp.eye(l, dtype=jnp.float32)
-    jcol = jnp.arange(l)[None, None, :]
 
     def densify_panel(ids, flags):
-        # ids, flags: (r*c,) -> (r*c, l, l). Expansion runs as a static
-        # K-pass compare-accumulate instead of a scatter-add: TPU
-        # scatters serialize (~1e7-1e8 elem/s) and dominated the whole
-        # consistency stage (measured 79s at N=83, ~13x over the
-        # matmul+bandwidth bound); K fused compare+fma passes are plain
-        # VPU work.
+        # ids, flags: (r*c,) -> (r*c, l, l)
         v = jnp.where(cols[ids] >= 0, vals[ids], 0.0)
-        c = cols[ids]
         m = ids.shape[0]
 
         if use_pallas:
             # VMEM-resident expansion: K compare+fma passes over
-            # registers, ONE HBM write of the dense slab (ops/sparse.py)
+            # registers, ONE HBM write of the dense slab (ops/sparse.py).
+            # ~3x faster than the scatter at N=83 BUT its XLA program
+            # compiles in 300+s per shape and the remote compile service
+            # times out on larger ones — opt-in (MUSCLE_TPU_DENSIFY=
+            # pallas) until the compile cost is understood.
             from .sparse import densify_pallas
-            d = densify_pallas(v, c, l)
+            d = densify_pallas(v, cols[ids], l)
         else:
-            # CPU/testing fallback: fori_loop (not a Python unroll) —
-            # one (m, l, l) accumulator + one comparison temp live at a
-            # time; an unrolled version made XLA materialize K slabs
-            # per panel and crashed the compile
-            def body(k, d):
-                vk = jax.lax.dynamic_slice_in_dim(v, k, 1, axis=2)
-                ck = jax.lax.dynamic_slice_in_dim(c, k, 1, axis=2)
-                return d + vk * (ck == jcol)
-
-            d = jax.lax.fori_loop(0, kk, body,
-                                  jnp.zeros((m, l, l), jnp.float32))
+            # default: scatter-add expansion. TPU scatters serialize
+            # (the dominant consistency cost at large N), but the
+            # program compiles in seconds — and with one compile per
+            # (ladder) shape that wins for cluster pipelines.
+            c = jnp.where(cols[ids] >= 0, cols[ids], 0)
+            ri = jnp.arange(l)[None, :, None]
+            d = jnp.zeros((m, l, l), jnp.float32)
+            d = d.at[jnp.arange(m)[:, None, None], ri, c].add(v)
         d = jnp.where((flags == FLAG_TRANS)[:, None, None],
                       jnp.swapaxes(d, -1, -2), d)
         d = jnp.where((flags == FLAG_EYE)[:, None, None], eye[None], d)
@@ -321,7 +314,9 @@ def consistency_sparse(vals, cols, n: int, iters: int, *,
         wave = -(-wave // n_dev) * n_dev
     inv_n = jnp.float32(1.0 / n)
 
-    use_pallas = jax.default_backend() not in ("cpu",)
+    import os
+    use_pallas = (jax.default_backend() not in ("cpu",)
+                  and os.environ.get("MUSCLE_TPU_DENSIFY") == "pallas")
     if mesh is None:
         def run(*args):
             return _blocks_wave(*args, bx=blk, by=blk, t=blk, l=l,
