@@ -59,13 +59,10 @@ def main():
     lb = jnp.full((B,), L, jnp.int32)
 
     if backend == "pallas":
-        from muscle_tpu.ops.pairhmm_pallas import (batch_posteriors_pallas,
-                                                   pack_scan_k)
-        scan_k = pack_scan_k(pack)
+        from muscle_tpu.ops.pairhmm_pallas import batch_posteriors_pallas
 
         def step():
-            post, ea = batch_posteriors_pallas(xb, yb, lb, lb, *args,
-                                               scan_k=scan_k)
+            post, ea = batch_posteriors_pallas(xb, yb, lb, lb, *args)
             return ea
     else:
         def step():

@@ -58,10 +58,39 @@ Options:
 """
 
 
+class OptDict(dict):
+    """Options dict that records which keys were consulted, mirroring
+    the reference's optused_x tracking + CheckUsedOpts warning
+    (reference: src/myutils.h:364-371, src/main.cpp:68)."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.used: set[str] = set()
+
+    def get(self, k, d=None):
+        self.used.add(k)
+        return super().get(k, d)
+
+    def __getitem__(self, k):
+        self.used.add(k)
+        return super().__getitem__(k)
+
+    def __contains__(self, k):
+        self.used.add(k)
+        return super().__contains__(k)
+
+    def unused(self) -> list[str]:
+        # flags consumed by the harness itself, not the command
+        harness = {"log", "quiet", "threads", "help", "version",
+                   "fa2efa_files"}
+        return sorted(k for k in self.keys()
+                      if k not in self.used and k not in harness)
+
+
 def parse_args(argv: list[str]) -> tuple[str | None, str | None, dict]:
     cmd = None
     arg1 = None
-    opts: dict[str, object] = {}
+    opts: dict[str, object] = OptDict()
     flag_cmds = {
         "align", "super5", "super6", "super7", "uclustpd", "protdists",
         "qscore", "disperse", "maxcc",
@@ -130,6 +159,10 @@ def main(argv: list[str] | None = None) -> int:
     except Exception as e:
         mlog.progress("---Fatal error---\n%s", e)
         raise
+    if isinstance(opts, OptDict):
+        for name in opts.unused():
+            mlog.progress("WARNING: option -%s was not used by -%s",
+                          name, cmd)
     mlog.finish()
     return rc
 

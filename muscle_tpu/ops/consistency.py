@@ -340,20 +340,41 @@ def consistency_sparse(vals, cols, n: int, iters: int, *,
                                     blk_sh, blk_sh, blk_sh, rep),
                       out_shardings=rep)
 
-    from ..utils.devretry import call_with_retry
+    # retry at the ITERATION level: `run` donates the accumulator, so a
+    # failed wave leaves `out` deleted and cannot simply be re-issued
+    # (ADVICE r2). vals/cols are never donated, so restarting the
+    # iteration from a fresh zero accumulator is always safe.
+    from ..utils import logging as mlog
+    from ..utils.devretry import is_transient
+    import time as _time
+    retries = 5
     for _ in range(iters):
-        out = jnp.zeros_like(vals)
-        for lo in range(0, nblk_total, wave):
-            w = [a[lo:lo + wave] for a in (prs, frs, pcs, fcs, pos)]
-            pad = wave - w[0].shape[0] if lo + wave > nblk_total else 0
-            if pad:
-                dmy = _dummy_block(dump, blk, nb)
-                w = [np.concatenate([a, np.stack([d] * pad)])
-                     for a, d in zip(w, dmy)]
-            out = call_with_retry(
-                run, vals, cols, out,
-                jnp.asarray(w[0]), jnp.asarray(w[1]),
-                jnp.asarray(w[2]), jnp.asarray(w[3]),
-                jnp.asarray(w[4]), inv_n)
+        for attempt in range(retries + 1):
+            out = jnp.zeros_like(vals)
+            try:
+                for lo in range(0, nblk_total, wave):
+                    w = [a[lo:lo + wave]
+                         for a in (prs, frs, pcs, fcs, pos)]
+                    pad = (wave - w[0].shape[0]
+                           if lo + wave > nblk_total else 0)
+                    if pad:
+                        dmy = _dummy_block(dump, blk, nb)
+                        w = [np.concatenate([a, np.stack([d] * pad)])
+                             for a, d in zip(w, dmy)]
+                    out = run(vals, cols, out,
+                              jnp.asarray(w[0]), jnp.asarray(w[1]),
+                              jnp.asarray(w[2]), jnp.asarray(w[3]),
+                              jnp.asarray(w[4]), inv_n)
+                break
+            except Exception as e:
+                if attempt >= retries or not is_transient(e):
+                    raise
+                delay = 10.0 * (2 ** attempt)
+                mlog.progress(
+                    "transient device error in consistency (%s); "
+                    "restarting iteration %d/%d in %.0fs",
+                    str(e).splitlines()[0][:120], attempt + 1, retries,
+                    delay)
+                _time.sleep(delay)
         vals = out
     return vals

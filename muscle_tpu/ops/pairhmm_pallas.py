@@ -102,24 +102,15 @@ def _shift_fill(x, fill):
     return jnp.where(lane == 0, fill, rolled)
 
 
-def _affine_scan(a, c, width, max_k=None, log_add_fn=None):
+def _affine_scan(a, c, width, log_add_fn=None):
     """Inclusive scan of T_j(u) = LOG_ADD(u + a_j, c_j) with u_0 = -inf.
 
     Returns u_j = C_j of the composed transform. Hillis-Steele over
     lanes: compose(s_j, s_{j-k}) = (a_j + a_{j-k},
-    LOG_ADD(c_{j-k} + a_j, c_j)).
-
-    max_k bounds the history window: LOG_ADD's 7.5 underflow clamp
-    (reference src/scoretype.h) drops any contribution whose accumulated
-    gap-extension weight falls >= 7.5 below the local term, so with
-    per-lane decay |a_j| >= amin only ceil(7.5/amin) lanes of history
-    can ever survive — the truncated scan is exact under reference
-    semantics. Callers compute max_k from the score tables
-    (see scan_window_lanes)."""
+    LOG_ADD(c_{j-k} + a_j, c_j))."""
     lane = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
-    limit = width if max_k is None else min(max_k, width)
     k = 1
-    while k < limit:
+    while k < width:
         a_s = pltpu.roll(a, k, 1)
         c_s = pltpu.roll(c, k, 1)
         valid = lane >= k
@@ -131,24 +122,14 @@ def _affine_scan(a, c, width, max_k=None, log_add_fn=None):
     return c
 
 
-def scan_window_lanes(t_ii: float, t_jj: float, max_ins: float) -> int:
-    """Scan history window. NOTE: a static window derived from the raw
-    per-lane decay |a_j| is NOT sound — the LOG_ADD clamp compares
-    *accumulated* scan values, and the c_j terms themselves decay along
-    the row at a similar rate, offsetting the a_j decay (measured:
-    truncating to 8 lanes corrupts posteriors by ~1.0). Kept for
-    experimentation; returns unbounded."""
-    return 1 << 30
-
-
-def _affine_scan2(a1, c1, a2, c2, width, max_k=None):
+def _affine_scan2(a1, c1, a2, c2, width):
     """Two affine scans fused by stacking along sublanes — halves the
     number of roll/select/LOG_ADD invocations (the per-row cost is
     dominated by these scans)."""
     p = a1.shape[0]
     a = jnp.concatenate([a1, a2], axis=0)
     c = jnp.concatenate([c1, c2], axis=0)
-    c = _affine_scan(a, c, width, max_k)
+    c = _affine_scan(a, c, width)
     return c[:p], c[p:]
 
 
@@ -186,12 +167,12 @@ def _log_add_p(x, y):
     return jnp.where(small, hi, lo + _logexp1_poly8(d))
 
 
-def _affine_scan2_poly(a1, c1, a2, c2, width, max_k=None):
+def _affine_scan2_poly(a1, c1, a2, c2, width):
     """_affine_scan2 with the selection-free degree-8 LOG_ADD."""
     p = a1.shape[0]
     a = jnp.concatenate([a1, a2], axis=0)
     c = jnp.concatenate([c1, c2], axis=0)
-    c = _affine_scan(a, c, width, max_k, log_add_fn=_log_add_p)
+    c = _affine_scan(a, c, width, log_add_fn=_log_add_p)
     return c[:p], c[p:]
 
 
@@ -236,8 +217,7 @@ def _affine_scan_seg(a, c, width, log_add_fn):
     return log_add_fn(carry_vec + a, c)
 
 
-def _affine_scan2_seg(a1, c1, a2, c2, width, max_k=None,
-                      log_add_fn=None):
+def _affine_scan2_seg(a1, c1, a2, c2, width, log_add_fn=None):
     p = a1.shape[0]
     a = jnp.concatenate([a1, a2], axis=0)
     c = jnp.concatenate([c1, c2], axis=0)
@@ -245,8 +225,8 @@ def _affine_scan2_seg(a1, c1, a2, c2, width, max_k=None,
     return c[:p], c[p:]
 
 
-def _affine_scan2_segpoly(a1, c1, a2, c2, width, max_k=None):
-    return _affine_scan2_seg(a1, c1, a2, c2, width, max_k,
+def _affine_scan2_segpoly(a1, c1, a2, c2, width):
+    return _affine_scan2_seg(a1, c1, a2, c2, width,
                              log_add_fn=_log_add_p)
 
 
@@ -295,7 +275,7 @@ def _emission_row(xm_ref, oy_ref, kk):
     return e
 
 
-def _fwd_kernel(scan_k, n_rows, kk, impl, params, *refs):
+def _fwd_kernel(n_rows, kk, impl, params, *refs):
     """Grid step i computes DP row i+1; scratch carries row i.
 
     Refs (row-major layouts put the large axes in the tiled minor
@@ -389,8 +369,7 @@ def _fwd_kernel(scan_k, n_rows, kk, impl, params, *refs):
     m_sh = _shift_fill(m_new, LOG_ZERO)
     scan2 = _SCAN2_IMPLS.get(impl, _affine_scan2)
     iy_new, jy_new = scan2(insy + tII, m_sh + tMI + insy,
-                           insy + tJJ, m_sh + tMJ + insy, L,
-                           max_k=scan_k)
+                           insy + tJJ, m_sh + tMJ + insy, L)
 
     m_s[:, :] = m_new
     ix_s[:, :] = ix_new
@@ -435,7 +414,7 @@ def _fwd_kernel(scan_k, n_rows, kk, impl, params, *refs):
 # Backward kernel (forward-style over reversed sequences)
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(scan_k, kk, impl, params, *refs):
+def _bwd_kernel(kk, impl, params, *refs):
     """Grid step u computes RB row u; m_out row u holds RB_M(u, v) for
     v = 0..L-1 (column v=0 included via the shifted write). kk dispatch
     as in _fwd_kernel (None = streamed emission row, K = fused).
@@ -511,8 +490,7 @@ def _bwd_kernel(scan_k, kk, impl, params, *refs):
 
         scan2 = _SCAN2_IMPLS.get(impl, _affine_scan2)
         iy_new, jy_new = scan2(insy + tII, tIM + next_m,
-                               insy + tJJ, tJM + next_m, L,
-                               max_k=scan_k)
+                               insy + tJJ, tJM + next_m, L)
 
         next_iy = _shift_fill(iy_new, LOG_ZERO) + insy
         next_jy = _shift_fill(jy_new, LOG_ZERO) + insy
@@ -580,14 +558,14 @@ def _round_up(x, m):
 
 
 def _fwd_pallas(e_t, insx_t, insy, lymask, lxf, params, tile_p,
-                scan_k=None, impl="hillis"):
+                impl="hillis"):
     """e_t: (Lx, B, Ly) emission lattice; insx_t: (Lx, B, 1) per-row x
     insert scores; lxf: (B, 128) float lx broadcast. Returns
     ((Lx, B, Ly) M lattice, (B, 128) final states at (lx, ly))."""
     lx, b, ly = e_t.shape
     grid = (b // tile_p, lx)
     m_lat, sly = pl.pallas_call(
-        partial(_fwd_kernel, scan_k, lx, None, impl),
+        partial(_fwd_kernel, lx, None, impl),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_p, 16), lambda t, i: (t, 0),
@@ -621,14 +599,14 @@ def _fwd_pallas(e_t, insx_t, insy, lymask, lxf, params, tile_p,
 
 
 def _bwd_pallas(e_rev_t, insx_rev_t, insy_rev, params, tile_p,
-                scan_k=None, impl="hillis"):
+                impl="hillis"):
     """e_rev_t: (Lx, B, Ly) reversed emission lattice; insx_rev_t:
     (Lx, B, 1) reversed x insert scores. Returns the (Lx, B, Ly) RB_M
     lattice (row u, cols v=0..Ly-1)."""
     lx, b, ly = e_rev_t.shape
     grid = (b // tile_p, lx)
     m_lat = pl.pallas_call(
-        partial(_bwd_kernel, scan_k, None, impl),
+        partial(_bwd_kernel, None, impl),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_p, 16), lambda t, i: (t, 0),
@@ -654,7 +632,7 @@ def _bwd_pallas(e_rev_t, insx_rev_t, insy_rev, params, tile_p,
 
 
 def _fwd_pallas_fused(xm_t, oy, insx_t, insy, lymask, lxf, params,
-                      tile_p, kk, scan_k=None, impl="hillis"):
+                      tile_p, kk, impl="hillis"):
     """Fused-emission forward: xm_t (Lx, B, 128) streamed match-score
     rows (lanes 0..kk-1 valid), oy (B, KP, Ly) persistent one-hot of y.
     Returns ((Lx, B, Ly) M lattice, (B, 128) final states)."""
@@ -662,7 +640,7 @@ def _fwd_pallas_fused(xm_t, oy, insx_t, insy, lymask, lxf, params,
     kp, ly = oy.shape[1], oy.shape[2]
     grid = (b // tile_p, lx)
     m_lat, sly = pl.pallas_call(
-        partial(_fwd_kernel, scan_k, lx, kk, impl),
+        partial(_fwd_kernel, lx, kk, impl),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_p, 16), lambda t, i: (t, 0),
@@ -698,13 +676,13 @@ def _fwd_pallas_fused(xm_t, oy, insx_t, insy, lymask, lxf, params,
 
 
 def _bwd_pallas_fused(xm_rev_t, oy_rev, insx_rev_t, insy_rev, params,
-                      tile_p, kk, scan_k=None, impl="hillis"):
+                      tile_p, kk, impl="hillis"):
     """Fused-emission backward (forward-style over reversed seqs)."""
     lx, b, _ = xm_rev_t.shape
     kp, ly = oy_rev.shape[1], oy_rev.shape[2]
     grid = (b // tile_p, lx)
     m_lat = pl.pallas_call(
-        partial(_bwd_kernel, scan_k, kk, impl),
+        partial(_bwd_kernel, kk, impl),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_p, 16), lambda t, i: (t, 0),
@@ -775,12 +753,11 @@ def _pick_tile_p(b: int, ly: int | None = None, kp: int = 0) -> int:
 
 
 @partial(jax.jit,
-         static_argnames=("with_mea", "tile_p", "scan_k", "scan_impl"))
+         static_argnames=("with_mea", "tile_p", "scan_impl"))
 def batch_posteriors_pallas_emissions(e, e_rev, ins_x, ins_y, ins_xr,
                                       ins_yr, lxb, lyb, start, tv,
                                       with_mea: bool = True,
                                       tile_p: int | None = None,
-                                      scan_k: int | None = None,
                                       scan_impl: str | None = None):
     """Pallas posterior path from precomputed emission matrices —
     shared by the letter pair-HMM and the Muscle-3D profile HMM."""
@@ -797,10 +774,10 @@ def batch_posteriors_pallas_emissions(e, e_rev, ins_x, ins_y, ins_xr,
     impl = scan_impl or SCAN_IMPL
     fm_t, f_end5 = _fwd_pallas(e.transpose(1, 0, 2),
                                ins_x.T[:, :, None], ins_y, lymask, lxf,
-                               params, tile_p, scan_k, impl)
+                               params, tile_p, impl)
     rbm_t = _bwd_pallas(e_rev.transpose(1, 0, 2),
                         ins_xr.T[:, :, None], ins_yr,
-                        params, tile_p, scan_k, impl)
+                        params, tile_p, impl)
     return _finish_posteriors(fm_t, rbm_t, f_end5, lxb, lyb, start,
                               with_mea, tile_p)
 
@@ -845,19 +822,11 @@ def _finish_posteriors(fm_t, rbm_t, f_end5, lxb, lyb, start, with_mea,
     return post_t.transpose(1, 0, 2), ea
 
 
-def pack_scan_k(pack):
-    """Truncated-scan window from a ScorePack's tables. Currently always
-    None (full scan) — see scan_window_lanes for why static truncation
-    is unsound."""
-    return None
-
-
 @partial(jax.jit,
-         static_argnames=("with_mea", "tile_p", "scan_k", "scan_impl"))
+         static_argnames=("with_mea", "tile_p", "scan_impl"))
 def batch_posteriors_pallas(xb, yb, lxb, lyb, match, insert, start, tv,
                             with_mea: bool = True,
                             tile_p: int | None = None,
-                            scan_k: int | None = None,
                             scan_impl: str | None = None):
     """Drop-in Pallas equivalent of ops.pairhmm.batch_posteriors.
 
@@ -900,21 +869,20 @@ def batch_posteriors_pallas(xb, yb, lxb, lyb, match, insert, start, tv,
     impl = scan_impl or SCAN_IMPL
     fm_t, f_end5 = _fwd_pallas_fused(
         xmt(xb), oyt(yb), insert[xb].T[:, :, None], insert[yb],
-        lymask, lxf, params, tile_p, kk, scan_k, impl)
+        lymask, lxf, params, tile_p, kk, impl)
     rbm_t = _bwd_pallas_fused(
         xmt(xr), oyt(yr), insert[xr].T[:, :, None], insert[yr],
-        params, tile_p, kk, scan_k, impl)
+        params, tile_p, kk, impl)
     return _finish_posteriors(fm_t, rbm_t, f_end5, lxb, lyb, start,
                               with_mea, tile_p)
 
 
 @partial(jax.jit,
-         static_argnames=("with_mea", "tile_p", "scan_k", "scan_impl"))
+         static_argnames=("with_mea", "tile_p", "scan_impl"))
 def batch_posteriors_pallas_multi(xb, yb, lxb, lyb, match_b, insert_b,
                                   start_b, tv_b,
                                   with_mea: bool = True,
                                   tile_p: int | None = None,
-                                  scan_k: int | None = None,
                                   scan_impl: str | None = None):
     """batch_posteriors_pallas with per-pair score tables — match_b
     (B, K+1, K+1), insert_b (B, K+1), start_b (B, 5), tv_b (B, 7).
@@ -955,10 +923,10 @@ def batch_posteriors_pallas_multi(xb, yb, lxb, lyb, match_b, insert_b,
     impl = scan_impl or SCAN_IMPL
     fm_t, f_end5 = _fwd_pallas_fused(
         xmt(xb), oyt(yb), ins(xb).T[:, :, None], ins(yb),
-        lymask, lxf, params, tile_p, kk, scan_k, impl)
+        lymask, lxf, params, tile_p, kk, impl)
     rbm_t = _bwd_pallas_fused(
         xmt(xr), oyt(yr), ins(xr).T[:, :, None], ins(yr),
-        params, tile_p, kk, scan_k, impl)
+        params, tile_p, kk, impl)
     return _finish_posteriors_multi(fm_t, rbm_t, f_end5, lxb, lyb,
                                     start_b, with_mea, tile_p)
 

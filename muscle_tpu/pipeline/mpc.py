@@ -74,7 +74,13 @@ class MPC:
         # lengths would each pay the full kernel + consistency compile —
         # the ladder collapses them to a handful of shapes
         lmax = max(len(s) for s in unique)
-        pad_to = max(128, post_mod._bucket_of(lmax, post_mod.BUCKET_LADDER[-1]))
+        if lmax > post_mod.BUCKET_LADDER[-1]:
+            # beyond the ladder: exact 128-multiple padding (the long-pair
+            # checkpoint path handles these; never truncate)
+            pad_to = post_mod.round_up(lmax, 128)
+        else:
+            pad_to = max(128, post_mod._bucket_of(
+                lmax, post_mod.BUCKET_LADDER[-1]))
         pairs = [(x, y) for x in range(n) for y in range(x + 1, n)]
         return derep, unique, n, labels, label_to_index, pad_to, pairs
 

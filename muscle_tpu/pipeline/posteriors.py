@@ -65,10 +65,9 @@ def _make_batch_fn(codes_l, pack, with_mea, backend, device_batch_fn,
     if backend == "pallas":
         from ..ops import pairhmm_pallas
         assert codes_l % 128 == 0, "pallas path needs 128-padded L"
-        scan_k = pairhmm_pallas.pack_scan_k(pack)
         return lambda xb, yb, lxb, lyb: \
             pairhmm_pallas.batch_posteriors_pallas(
-                xb, yb, lxb, lyb, *args, with_mea=with_mea, scan_k=scan_k)
+                xb, yb, lxb, lyb, *args, with_mea=with_mea)
     return lambda xb, yb, lxb, lyb: pairhmm.batch_posteriors(
         xb, yb, lxb, lyb, *args, with_mea=with_mea)
 
@@ -359,6 +358,26 @@ def ensemble_pairs_posteriors_sparse(codes: np.ndarray, lens: np.ndarray,
     else:
         multi_fn = pairhmm.batch_posteriors_multi
 
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        # shard the (rep, pair) batch axis across the mesh — every array
+        # argument carries batch as its leading axis (ADVICE r2)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.mesh import make_mesh
+        mesh = make_mesh()
+        dsh = NamedSharding(mesh, P(mesh.axis_names[0]))
+        base_fn = multi_fn
+        mea_flag = with_mea
+
+        @partial(jax.jit, in_shardings=(dsh,) * 8,
+                 out_shardings=(dsh, dsh))
+        def _sharded(xb, yb, lxb, lyb, mb, ib, sb, tb):
+            return base_fn(xb, yb, lxb, lyb, mb, ib, sb, tb,
+                           with_mea=mea_flag)
+
+        def multi_fn(xb, yb, lxb, lyb, mb, ib, sb, tb, with_mea=True):
+            return _sharded(xb, yb, lxb, lyb, mb, ib, sb, tb)
+
     cj = jnp.asarray(codes)
     lj = jnp.asarray(lens)
 
@@ -385,7 +404,7 @@ def ensemble_pairs_posteriors_sparse(codes: np.ndarray, lens: np.ndarray,
     # by pair then replicate-major within a bucket
     buckets = _bucketize(pairs, lens, l_full) or \
         [(l_full, list(range(n_pairs)))]
-    b0 = _pick_chunk(batch_size, r_count * n_pairs, backend, 1)
+    b0 = _pick_chunk(batch_size, r_count * n_pairs, backend, n_dev)
     for lb, idxs in buckets:
         entries = [(r, pi) for r in range(r_count) for pi in idxs]
         b = _clamp_chunk_by_len(b0, lb)
