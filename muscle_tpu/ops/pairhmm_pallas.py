@@ -37,10 +37,13 @@ from .pairhmm import MIN_SPARSE_SCORE
 NEG_BIG = -1e30  # sentinel more negative than any reachable score sum
 
 # per-pair params layout, (B, 16) VMEM rows: [tSM, tSI, tSJ, tMM, tMI,
-# tMJ, tII, tIM, tJJ, tJM, 0...] — each pair can carry its own HMM
+# tMJ, tII, tIM, tJJ, tJM, tot, 0...] — each pair can carry its own HMM
 # transitions (ensemble replicate batching); the kernel reads (P, 1)
-# columns that broadcast like the former shared scalars
+# columns that broadcast like the former shared scalars. Lane 10 (tot)
+# is the pair's total log-probability, filled between the forward and
+# the fused backward+posterior pass.
 P_TSM, P_TSI, P_TSJ, P_TMM, P_TMI, P_TMJ, P_TII, P_TIM, P_TJJ, P_TJM = range(10)
+P_TOT = 10
 
 
 def _params_rows(start, tv, b):
@@ -230,12 +233,35 @@ def _affine_scan2_segpoly(a1, c1, a2, c2, width):
                              log_add_fn=_log_add_p)
 
 
+def _log_add5_p(x1, x2, x3, x4, x5):
+    return _log_add_p(x1, _log_add_p(x2, _log_add_p(
+        x3, _log_add_p(x4, x5))))
+
+
+# scan impl for the IY/JY within-row recurrence, keyed by name:
+#   hillis  — log-semiring Hillis-Steele, reference-cubic LOG_ADD
+#   poly    — same scan, selection-free degree-8 LOG_ADD
+#   seg     — two-level segmented scan (fewer rounds), cubic LOG_ADD
+#   segpoly — segmented + degree-8 (fastest measured, tools/ab_scan.py)
+# "+all" suffix (e.g. "segpolyall") additionally switches the M/IX/JX
+# cell updates to the degree-8 LOG_ADD (max err 8.3e-5, BETTER than the
+# reference cubic's 2.6e-4 — src/scoretype.h:100-109); without it the
+# base updates keep the reference cubic for closest tracking.
 _SCAN2_IMPLS = {
     "hillis": _affine_scan2,
     "poly": _affine_scan2_poly,
     "seg": _affine_scan2_seg,
     "segpoly": _affine_scan2_segpoly,
 }
+
+
+def _impl_fns(impl):
+    """(scan2, log_add, log_add5) for an impl name."""
+    base = impl[:-3] if impl.endswith("all") else impl
+    scan2 = _SCAN2_IMPLS.get(base, _affine_scan2)
+    if impl.endswith("all"):
+        return scan2, _log_add_p, _log_add5_p
+    return scan2, _log_add, _log_add5
 
 
 def _cumsum_lanes(x, width):
@@ -305,6 +331,7 @@ def _fwd_kernel(n_rows, kk, impl, params, *refs):
         e_row = _emission_row(xm_ref, oy_ref, kk)
     i = pl.program_id(1)
     L = insy_ref.shape[1]
+    scan2, log_add, log_add5 = _impl_fns(impl)
     # per-pair transition scores as (P, 1) columns — broadcast against
     # the (P, L) state rows exactly like the former SMEM scalars, but
     # each pair may carry its own (e.g. ensemble-perturbed) HMM
@@ -351,15 +378,15 @@ def _fwd_kernel(n_rows, kk, impl, params, *refs):
     # value is the fold of the per-term fills (LOG_ZERO, ix0, jx0,
     # LOG_ZERO, LOG_ZERO), which the LOG_ZERO clamp reduces exactly to
     # LOG_ADD(ix0+tIM, jx0+tJM) — bit-identical to per-term shifting.
-    comb = _log_add5(m_p + tMM, ix_p + tIM, jx_p + tJM,
-                     iy_p + tIM, jy_p + tJM)
-    fill = _log_add(ix0_p + tIM, jx0_p + tJM)
+    comb = log_add5(m_p + tMM, ix_p + tIM, jx_p + tJM,
+                    iy_p + tIM, jy_p + tJM)
+    fill = log_add(ix0_p + tIM, jx0_p + tJM)
     m_new = _shift_fill(comb, fill) + e_row
     m_new = jnp.where((i == 0) & (lane == 0), tSM + e_row, m_new)
 
     # IX/JX rows (predecessors at (i-1, j))
-    ix_new = _log_add(ix_p + tII, m_p + tMI) + insx
-    jx_new = _log_add(jx_p + tJJ, m_p + tMJ) + insx
+    ix_new = log_add(ix_p + tII, m_p + tMI) + insx
+    jx_new = log_add(jx_p + tJJ, m_p + tMJ) + insx
 
     # column-0 chain
     ix0_new = jnp.where(i == 0, tSI + insx, ix0_p + tII + insx)
@@ -367,7 +394,6 @@ def _fwd_kernel(n_rows, kk, impl, params, *refs):
 
     # IY/JY rows: affine recurrence along lanes (fused into one scan)
     m_sh = _shift_fill(m_new, LOG_ZERO)
-    scan2 = _SCAN2_IMPLS.get(impl, _affine_scan2)
     iy_new, jy_new = scan2(insy + tII, m_sh + tMI + insy,
                            insy + tJJ, m_sh + tMJ + insy, L)
 
@@ -428,6 +454,7 @@ def _bwd_kernel(kk, impl, params, *refs):
          m_s, ix_s, iy_s, jx_s, jy_s, c0_s) = refs
     u = pl.program_id(1)
     L = insy_ref.shape[1]
+    scan2, log_add, log_add5 = _impl_fns(impl)
     tSM = params[:, P_TSM:P_TSM + 1]
     tSI = params[:, P_TSI:P_TSI + 1]
     tSJ = params[:, P_TSJ:P_TSJ + 1]
@@ -446,8 +473,8 @@ def _bwd_kernel(kk, impl, params, *refs):
         lz = jnp.full(insy.shape, LOG_ZERO, jnp.float32)
         iy0 = tSI + _cumsum_lanes(insy + tII, L)
         jy0 = tSJ + _cumsum_lanes(insy + tJJ, L)
-        m0 = _log_add(tMI + _shift_fill(iy0, tSI) + insy,
-                      tMJ + _shift_fill(jy0, tSJ) + insy)
+        m0 = log_add(tMI + _shift_fill(iy0, tSI) + insy,
+                     tMJ + _shift_fill(jy0, tSJ) + insy)
         m_s[:, :] = m0
         ix_s[:, :] = lz
         jx_s[:, :] = lz
@@ -482,23 +509,22 @@ def _bwd_kernel(kk, impl, params, *refs):
         next_ix = ix_p + insx                      # (u-1, v)
         next_jx = jx_p + insx
 
-        ix_new = _log_add(tII + next_ix, tIM + next_m)
-        jx_new = _log_add(tJJ + next_jx, tJM + next_m)
+        ix_new = log_add(tII + next_ix, tIM + next_m)
+        jx_new = log_add(tJJ + next_jx, tJM + next_m)
         ix0_new = tII + ix0_p + insx
         jx0_new = tJJ + jx0_p + insx
-        m0_new = _log_add(tMI + ix0_p + insx, tMJ + jx0_p + insx)
+        m0_new = log_add(tMI + ix0_p + insx, tMJ + jx0_p + insx)
 
-        scan2 = _SCAN2_IMPLS.get(impl, _affine_scan2)
         iy_new, jy_new = scan2(insy + tII, tIM + next_m,
                                insy + tJJ, tJM + next_m, L)
 
         next_iy = _shift_fill(iy_new, LOG_ZERO) + insy
         next_jy = _shift_fill(jy_new, LOG_ZERO) + insy
-        m_new = _log_add5(tMM + next_m,
-                          tMI + next_ix,
-                          tMJ + next_jx,
-                          tMI + next_iy,
-                          tMJ + next_jy)
+        m_new = log_add5(tMM + next_m,
+                         tMI + next_ix,
+                         tMJ + next_jx,
+                         tMI + next_iy,
+                         tMJ + next_jy)
 
         m_s[:, :] = m_new
         ix_s[:, :] = ix_new
@@ -510,6 +536,232 @@ def _bwd_kernel(kk, impl, params, *refs):
         c0_s[:, 2:3] = m0_new
 
         m_out_ref[0, :, :] = _shift_fill(m_new, m0_new)
+
+
+# ---------------------------------------------------------------------------
+# Fused backward + posterior kernel
+# ---------------------------------------------------------------------------
+
+def _flip_lanes(x):
+    """Reverse the lane (minor) axis of a (P, L) block: static reorder
+    of 128-lane chunks + one exchange-matrix MXU matmul per chunk
+    (P*L*128 MACs per row — negligible next to the VPU scan cost;
+    Mosaic has no native lane reversal)."""
+    p, L = x.shape
+    ra = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    ca = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    jmat = (ra + ca == 127).astype(jnp.float32)
+    parts = [jnp.dot(x[:, k * 128:(k + 1) * 128], jmat,
+                     preferred_element_type=jnp.float32)
+             for k in range(L // 128)]
+    parts.reverse()
+    return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+
+
+def _bwd_post_kernel(n_rows, kk, impl, params, *refs):
+    """Backward recurrence + posterior combine in ONE pass.
+
+    Consumes PLAIN-FLIPPED padded sequences (x_flip[p] = x_pad[Bx-1-p],
+    same for y): the reversed sequence sits at the END of the buffer, so
+    the state at grid step u, lane q is B(i = Bx-u, j = By-q) — STATIC
+    in (u, q) across pairs of different lengths. The forward M lattice
+    row Bx-1-u (= F(i=Bx-u, .)) is streamed in via the BlockSpec, the
+    backward M row is lane-flipped into forward column order, and the
+    posterior row exp(F + B - total) is written directly at forward
+    coordinates. The RB lattice never exists, and the per-pair
+    roll/gather of the old _finish_posteriors disappears.
+
+    Leading padding is handled in-kernel:
+      * rows u <= u0 = Bx-lx keep the boundary-init state (per-pair
+        pinning select), so the real recurrence starts at u0 exactly
+        like row 0 of the start-aligned kernel;
+      * padding lanes q < q0 = By-ly of the M/IX/JX state rows CARRY
+        the column-0 boundary chains (m0/ix0/jx0): with the emission
+        and insy forced to LOG_ZERO there, the ordinary row updates
+        degenerate to exactly the chain recurrences, so the one-lane
+        shift delivers the correct boundary value into lane q0 with no
+        per-pair logic. Pairs with ly == By (q0 = 0) use the c0_s
+        side-channel fills, as before.
+
+    reference: src/bwdflat3.cpp:10-190 (recurrence),
+    src/calcposteriorflat.cpp:4-27 (combine + 0.01 threshold).
+    """
+    if kk is None:
+        (e_ref, insx_ref, insy_ref, fm_ref, lens_ref, post_ref,
+         m_s, ix_s, iy_s, jx_s, jy_s, c0_s) = refs
+    else:
+        (xm_ref, oy_ref, insx_ref, insy_ref, fm_ref, lens_ref, post_ref,
+         m_s, ix_s, iy_s, jx_s, jy_s, c0_s) = refs
+    u = pl.program_id(1)
+    L = insy_ref.shape[1]
+    scan2, log_add, log_add5 = _impl_fns(impl)
+    tSM = params[:, P_TSM:P_TSM + 1]
+    tSI = params[:, P_TSI:P_TSI + 1]
+    tSJ = params[:, P_TSJ:P_TSJ + 1]
+    tMM = params[:, P_TMM:P_TMM + 1]
+    tMI = params[:, P_TMI:P_TMI + 1]
+    tMJ = params[:, P_TMJ:P_TMJ + 1]
+    tII = params[:, P_TII:P_TII + 1]
+    tIM = params[:, P_TIM:P_TIM + 1]
+    tJJ = params[:, P_TJJ:P_TJJ + 1]
+    tJM = params[:, P_TJM:P_TJM + 1]
+    tot = params[:, P_TOT:P_TOT + 1]
+
+    lxv = lens_ref[:, 0:1]                     # (P, 1) f32 lx
+    lyv = lens_ref[:, 1:2]                     # (P, 1) f32 ly
+    u0 = jnp.float32(n_rows) - lxv             # first REAL row
+    lane = jax.lax.broadcasted_iota(jnp.int32, insy_ref.shape, 1)
+    lanef = lane.astype(jnp.float32)
+    q0 = jnp.float32(L) - lyv                  # first REAL lane
+    padmask = lanef < q0
+
+    insy_raw = insy_ref[:, :]
+    insy = jnp.where(padmask, LOG_ZERO, insy_raw)
+
+    @pl.when(u == 0)
+    def _():
+        # boundary row B(lx, .) — identical math to the start-aligned
+        # init, with the cumsum summand masked to zero over padding so
+        # real lanes accumulate from q0, and padding lanes set to the
+        # chain inits (tSI/tSJ/tSM)
+        cum_i = _cumsum_lanes(jnp.where(padmask, 0.0, insy_raw + tII), L)
+        iy0 = jnp.where(padmask, tSI, tSI + cum_i)
+        cum_j = _cumsum_lanes(jnp.where(padmask, 0.0, insy_raw + tJJ), L)
+        jy0 = jnp.where(padmask, tSJ, tSJ + cum_j)
+        m0r = log_add(tMI + _shift_fill(iy0, tSI) + insy,
+                      tMJ + _shift_fill(jy0, tSJ) + insy)
+        m0r = jnp.where(padmask, tSM, m0r)
+        m_s[:, :] = m0r
+        ix_s[:, :] = jnp.where(padmask, tSI,
+                               jnp.full(insy.shape, LOG_ZERO, jnp.float32))
+        jx_s[:, :] = jnp.where(padmask, tSJ,
+                               jnp.full(insy.shape, LOG_ZERO, jnp.float32))
+        iy_s[:, :] = iy0
+        jy_s[:, :] = jy0
+        c0lane = jax.lax.broadcasted_iota(jnp.int32, c0_s.shape, 1)
+        c0_s[:, :] = jnp.where(
+            c0lane == 0, tSI,
+            jnp.where(c0lane == 1, tSJ,
+                      jnp.where(c0lane == 2, tSM, 0.0)))
+
+    @pl.when(u > 0)
+    def _():
+        m_p = m_s[:, :]
+        ix_p = ix_s[:, :]
+        jx_p = jx_s[:, :]
+        ix0_p = c0_s[:, 0:1]
+        jx0_p = c0_s[:, 1:2]
+        m0_p = c0_s[:, 2:3]
+
+        if kk is None:
+            e_row = e_ref[0, :, :]
+        else:
+            e_row = _emission_row(xm_ref, oy_ref, kk)
+        e_row = jnp.where(padmask, LOG_ZERO, e_row)
+        insx = insx_ref[0, :, :]   # (P, 1), row u-1 via the BlockSpec
+
+        next_m = _shift_fill(m_p, m0_p) + e_row   # (u-1, v-1)
+        next_ix = ix_p + insx                      # (u-1, v)
+        next_jx = jx_p + insx
+
+        ix_new = log_add(tII + next_ix, tIM + next_m)
+        jx_new = log_add(tJJ + next_jx, tJM + next_m)
+        ix0_new = tII + ix0_p + insx
+        jx0_new = tJJ + jx0_p + insx
+        m0_new = log_add(tMI + ix0_p + insx, tMJ + jx0_p + insx)
+
+        iy_new, jy_new = scan2(insy + tII, tIM + next_m,
+                               insy + tJJ, tJM + next_m, L)
+
+        next_iy = _shift_fill(iy_new, LOG_ZERO) + insy
+        next_jy = _shift_fill(jy_new, LOG_ZERO) + insy
+        m_new = log_add5(tMM + next_m,
+                         tMI + next_ix,
+                         tMJ + next_jx,
+                         tMI + next_iy,
+                         tMJ + next_jy)
+
+        # pin rows before the pair's boundary at their init state
+        pin = jnp.float32(u) <= u0
+        m_s[:, :] = jnp.where(pin, m_p, m_new)
+        ix_s[:, :] = jnp.where(pin, ix_p, ix_new)
+        iy_s[:, :] = jnp.where(pin, iy_s[:, :], iy_new)
+        jx_s[:, :] = jnp.where(pin, jx_p, jx_new)
+        jy_s[:, :] = jnp.where(pin, jy_s[:, :], jy_new)
+        c0_s[:, 0:1] = jnp.where(pin, ix0_p, ix0_new)
+        c0_s[:, 1:2] = jnp.where(pin, jx0_p, jx0_new)
+        c0_s[:, 2:3] = jnp.where(pin, m0_p, m0_new)
+
+    # combine: B_M row (shifted, lane-flipped to forward column order)
+    # + streamed F_M row - total, thresholded at 0.01 (reference:
+    # src/calcposteriorflat.cpp:4-27). Rows with i > lx and lanes with
+    # j > ly are masked to zero.
+    b_fwd = _flip_lanes(_shift_fill(m_s[:, :], c0_s[:, 2:3]))
+    fm_row = fm_ref[0, :, :]
+    score = fm_row + b_fwd - tot
+    pf = jnp.float32(n_rows) - 1.0 - jnp.float32(u)   # forward row index
+    valid = (pf < lxv) & (lanef < lyv)
+    post_ref[0, :, :] = jnp.where(
+        (score >= MIN_SPARSE_SCORE) & valid,
+        jnp.exp(jnp.minimum(score, 0.0)), 0.0)
+
+
+def _bwd_post_pallas(xm_flip_t, oy_flip, insx_flip_t, insy_flip, fm_t,
+                     lens2, params_tot, tile_p, kk, impl="hillis",
+                     interpret=False):
+    """Fused-emission backward + posterior. xm_flip_t (Lx, B, 128)
+    streamed match rows of the plain-flipped x; oy_flip (B, KP, Ly)
+    one-hot of the plain-flipped y; fm_t (Lx, B, Ly) forward M lattice
+    (start-aligned); lens2 (B, 128) with lane0=lx, lane1=ly;
+    params_tot (B, 16) with lane 10 = total log-prob. Returns the
+    (Lx, B, Ly) posterior lattice in forward coordinates."""
+    lx, b, _ = xm_flip_t.shape
+    kp, ly = oy_flip.shape[1], oy_flip.shape[2]
+    grid = (b // tile_p, lx)
+    post_t = pl.pallas_call(
+        partial(_bwd_post_kernel, lx, kk, impl),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_p, 16), lambda t, i: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_p, 128),
+                         lambda t, i: (jnp.maximum(i - 1, 0), t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_p, kp, ly), lambda t, i: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_p, 1),
+                         lambda t, i: (jnp.maximum(i - 1, 0), t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_p, ly), lambda t, i: (t, 0),
+                         memory_space=pltpu.VMEM),
+            # forward M row Bx-1-u — static flip of the row axis
+            pl.BlockSpec((1, tile_p, ly),
+                         lambda t, i: (lx - 1 - i, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_p, 128), lambda t, i: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_p, ly),
+                               lambda t, i: (lx - 1 - i, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((lx, b, ly), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tile_p, ly), jnp.float32)] * 5
+        + [pltpu.VMEM((tile_p, 128), jnp.float32)],
+        interpret=interpret,
+    )(params_tot, xm_flip_t, oy_flip, insx_flip_t, insy_flip, fm_t,
+      lens2)
+    return post_t
+
+
+def _total_prob(f_end5, bstart):
+    """Total log-prob fold from the forward final states — same LOG_ADD
+    order as the reference (src/totalprobflat.cpp:3-16). bstart (B, 5)
+    per-pair start scores in kernel sly order [M, IX, IY, JX, JY]."""
+    b = f_end5.shape[0]
+    tot = jnp.full((b,), LOG_ZERO, jnp.float32)
+    for s in range(5):
+        tot = _log_add(tot, f_end5[:, s] + bstart[:, s])
+    return tot
 
 
 # ---------------------------------------------------------------------------
@@ -724,12 +976,15 @@ def mea_scores_pallas(post_t, tile_p=8):
     return out[:, 0]
 
 
-# scan implementation for the IY/JY within-row recurrence:
-#   "hillis" — log-semiring Hillis-Steele, reference-cubic LOG_ADD
-#   "poly"   — same scan, selection-free degree-8 LOG_ADD (_log_add_p)
-# env override for A/B benchmarking; see tools/validate_pallas.py
+# Default scan impl for the IY/JY within-row recurrence (names: see
+# _impl_fns). "segpoly" won the committed on-chip A/B
+# (docs/SCAN_AB.md, tools/ab_scan.py r3): vs "hillis" it is +3.6% at
+# L=512, +9% at 1024, +13% at 2048; the "+all" variants (degree-8
+# LOG_ADD in the M/IX/JX updates too) measured NO faster, so the base
+# updates keep the reference cubic. Env override for A/B benchmarking;
+# numeric gate: tools/validate_pallas.py.
 import os as _os
-SCAN_IMPL = _os.environ.get("MUSCLE_TPU_SCAN_IMPL", "hillis")
+SCAN_IMPL = _os.environ.get("MUSCLE_TPU_SCAN_IMPL", "segpoly")
 
 
 _VMEM_BUDGET = 14 * 2 ** 20   # bytes of VMEM the kernel may plan for

@@ -41,17 +41,50 @@ needs_testdata = pytest.mark.skipif(
 FAMILIES = sorted(GOLDEN_SEQ)
 
 
+# workloads with established column-identity to the reference binary —
+# these must stay bit-identical, no score fallback allowed
+IDENTICAL_REQUIRED = {"BB11001.seq.afa", "BB11001.mega.afa"}
+
+
 def _check(msa, fam, golden_file, gq, gtc, by_sequence=False):
-    gold = {s.label: s.text() for s in
-            MultiSequence.from_fasta(f"{GOLDEN_DIR}/{golden_file}")}
+    """Golden gate. Branch 1: column-identical to the committed
+    reference-binary output. Branch 2 (score parity): Q/TC at least the
+    committed golden MSA's OWN score vs the BAliBASE reference — NOT
+    the 3-decimal published table values, which round up (e.g. the
+    reference's BB11005 structure output scores Q=0.753788, published
+    as 0.754; gating on the rounded value rejects runs that match the
+    reference's own quality exactly). Published values
+    (check_results.py:37-51) are asserted as documentation at 1e-3.
+    Returns which branch passed for the parity ledger."""
+    golden_msa = MultiSequence.from_fasta(f"{GOLDEN_DIR}/{golden_file}")
+    gold = {s.label: s.text() for s in golden_msa}
     mine = {s.label: s.text() for s in msa}
     if mine == gold:
-        return
+        return "identical"
+    assert golden_file not in IDENTICAL_REQUIRED, (
+        f"{fam}: column-identity to the reference binary is established "
+        f"for this workload but the output diverged")
     ref = MultiSequence.from_fasta(f"{REF_DIR}/{fam}")
     q, tc = qscore(msa, ref, by_sequence=by_sequence)
-    assert q >= gq and tc >= gtc, (
-        f"{fam}: not column-identical and Q/TC {q:.3f}/{tc:.3f} below "
-        f"golden {gq:.3f}/{gtc:.3f}")
+    q_gold, tc_gold = qscore(golden_msa, ref, by_sequence=by_sequence)
+    # sanity: the committed golden matches the published table at the
+    # table's own precision
+    assert abs(q_gold - gq) < 1.5e-3 and abs(tc_gold - gtc) < 1.5e-3
+    assert q >= q_gold - 1e-6 and tc >= tc_gold - 1e-6, (
+        f"{fam}: not column-identical and Q/TC {q:.6f}/{tc:.6f} below "
+        f"the reference output's own {q_gold:.6f}/{tc_gold:.6f}")
+    return "score-parity"
+
+
+def _record(workload: str, branch: str) -> None:
+    """Parity ledger: which gate branch each golden workload passed.
+    Always printed (visible with -rA/-s); appended to
+    $MUSCLE_TPU_PARITY_LEDGER when set (docs/PARITY.md generation)."""
+    print(f"PARITY {workload}: {branch}")
+    path = os.environ.get("MUSCLE_TPU_PARITY_LEDGER")
+    if path:
+        with open(path, "a") as f:
+            f.write(f"{workload}\t{branch}\n")
 
 
 @pytest.mark.slow
@@ -61,7 +94,7 @@ def test_balibase_seq(fam):
     from muscle_tpu.pipeline.mpc import align
     msa = align(MultiSequence.from_fasta(f"{FA_DIR}/{fam}"))
     gq, gtc = GOLDEN_SEQ[fam]
-    _check(msa, fam, f"{fam}.seq.afa", gq, gtc)
+    _record(f"{fam}.seq", _check(msa, fam, f"{fam}.seq.afa", gq, gtc))
 
 
 @pytest.mark.slow
@@ -75,4 +108,6 @@ def test_balibase_mega(fam):
                           for lb, sq in zip(mega.labels, mega.seqs)])
     msa = align(seqs, mega=mega)
     gq, gtc = GOLDEN_MEGA[fam]
-    _check(msa, fam, f"{fam}.mega.afa", gq, gtc, by_sequence=True)
+    _record(f"{fam}.mega",
+            _check(msa, fam, f"{fam}.mega.afa", gq, gtc,
+                   by_sequence=True))
