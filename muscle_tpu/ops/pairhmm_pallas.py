@@ -551,8 +551,12 @@ def _flip_lanes(x):
     ra = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
     ca = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
     jmat = (ra + ca == 127).astype(jnp.float32)
+    # HIGHEST precision: the default MXU pass truncates the f32
+    # log-space values to bf16 (measured: corrupts posteriors on chip
+    # while interpret mode passes)
     parts = [jnp.dot(x[:, k * 128:(k + 1) * 128], jmat,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
              for k in range(L // 128)]
     parts.reverse()
     return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
@@ -884,7 +888,7 @@ def _bwd_pallas(e_rev_t, insx_rev_t, insy_rev, params, tile_p,
 
 
 def _fwd_pallas_fused(xm_t, oy, insx_t, insy, lymask, lxf, params,
-                      tile_p, kk, impl="hillis"):
+                      tile_p, kk, impl="hillis", interpret=False):
     """Fused-emission forward: xm_t (Lx, B, 128) streamed match-score
     rows (lanes 0..kk-1 valid), oy (B, KP, Ly) persistent one-hot of y.
     Returns ((Lx, B, Ly) M lattice, (B, 128) final states)."""
@@ -923,6 +927,7 @@ def _fwd_pallas_fused(xm_t, oy, insx_t, insy, lymask, lxf, params,
         scratch_shapes=[pltpu.VMEM((tile_p, ly), jnp.float32)] * 5
         + [pltpu.VMEM((tile_p, 128), jnp.float32)]
         + [pltpu.VMEM((tile_p, ly), jnp.float32)] * 5,
+        interpret=interpret,
     )(params, xm_t, oy, insx_t, insy, lymask, lxf)
     return m_lat, sly
 
@@ -959,7 +964,7 @@ def _bwd_pallas_fused(xm_rev_t, oy_rev, insx_rev_t, insy_rev, params,
     return m_lat
 
 
-def mea_scores_pallas(post_t, tile_p=8):
+def mea_scores_pallas(post_t, tile_p=8, interpret=False):
     """post_t: (Lx, B, Ly) posterior lattice; returns (B,) MEA scores."""
     lx, b, ly = post_t.shape
     grid = (b // tile_p, lx)
@@ -972,6 +977,7 @@ def mea_scores_pallas(post_t, tile_p=8):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, 1), jnp.float32),
         scratch_shapes=[pltpu.VMEM((tile_p, ly), jnp.float32)],
+        interpret=interpret,
     )(post_t)
     return out[:, 0]
 
@@ -1077,12 +1083,67 @@ def _finish_posteriors(fm_t, rbm_t, f_end5, lxb, lyb, start, with_mea,
     return post_t.transpose(1, 0, 2), ea
 
 
+# fused backward+posterior path (round 3): the backward kernel streams
+# the forward lattice and writes posterior rows directly — no RB
+# lattice, no per-pair roll. Opt-out: MUSCLE_TPU_FUSED=0.
+FUSED = _os.environ.get("MUSCLE_TPU_FUSED", "1") != "0"
+
+
+def _letter_path(xb, yb, lxb, lyb, kk, kp, xmt, oyt, ins, params,
+                 bstart_b, tile_p, impl, with_mea, fused, interpret):
+    """Shared device path for the letter pair-HMM (single-table and
+    per-pair-table variants parameterize xmt/oyt/ins)."""
+    b, bx = xb.shape
+    by = yb.shape[1]
+    jj = jnp.arange(by)
+    lymask = (jj[None, :] == (lyb[:, None] - 1)).astype(jnp.float32)
+    lxf = jnp.broadcast_to(lxb.astype(jnp.float32)[:, None], (b, 128))
+
+    fm_t, f_end5 = _fwd_pallas_fused(
+        xmt(xb), oyt(yb), ins(xb).T[:, :, None], ins(yb),
+        lymask, lxf, params, tile_p, kk, impl, interpret=interpret)
+
+    if fused:
+        tot = _total_prob(f_end5[:, :5], bstart_b)
+        params_tot = params.at[:, P_TOT].set(tot)
+        lane128 = jnp.arange(128)[None, :]
+        lens2 = jnp.where(
+            lane128 == 0, lxb.astype(jnp.float32)[:, None],
+            jnp.where(lane128 == 1, lyb.astype(jnp.float32)[:, None],
+                      0.0))
+        xfl = xb[:, ::-1]
+        yfl = yb[:, ::-1]
+        post_t = _bwd_post_pallas(
+            xmt(xfl), oyt(yfl), ins(xfl).T[:, :, None], ins(yfl),
+            fm_t, lens2, params_tot, tile_p, kk, impl,
+            interpret=interpret)
+        if with_mea:
+            scores = mea_scores_pallas(post_t, tile_p,
+                                       interpret=interpret)
+            ea = scores / jnp.minimum(lxb, lyb).astype(jnp.float32)
+        else:
+            ea = jnp.zeros((b,), jnp.float32)
+        return post_t.transpose(1, 0, 2), ea
+
+    # legacy two-lattice path (kept for A/B + fallback)
+    xr = jax.vmap(lambda x, lx: jnp.roll(x[::-1], lx - bx))(xb, lxb)
+    yr = jax.vmap(lambda y, ly: jnp.roll(y[::-1], ly - by))(yb, lyb)
+    rbm_t = _bwd_pallas_fused(
+        xmt(xr), oyt(yr), ins(xr).T[:, :, None], ins(yr),
+        params, tile_p, kk, impl)
+    return _finish_posteriors_b(fm_t, rbm_t, f_end5, lxb, lyb,
+                                bstart_b, with_mea, tile_p)
+
+
 @partial(jax.jit,
-         static_argnames=("with_mea", "tile_p", "scan_impl"))
+         static_argnames=("with_mea", "tile_p", "scan_impl", "fused",
+                          "interpret"))
 def batch_posteriors_pallas(xb, yb, lxb, lyb, match, insert, start, tv,
                             with_mea: bool = True,
                             tile_p: int | None = None,
-                            scan_impl: str | None = None):
+                            scan_impl: str | None = None,
+                            fused: bool | None = None,
+                            interpret: bool = False):
     """Drop-in Pallas equivalent of ops.pairhmm.batch_posteriors.
 
     xb/yb must be padded to a 128-multiple length and B must be a
@@ -1090,24 +1151,20 @@ def batch_posteriors_pallas(xb, yb, lxb, lyb, match, insert, start, tv,
     """
     b, bx = xb.shape
     by = yb.shape[1]
-    kk0 = match.shape[0]
-    if tile_p is None:
-        tile_p = _pick_tile_p(b, by, _round_up(kk0, 8))
-    # reversed sequences: xr[u] = x[lx-1-u] = roll(flip(x), lx - Bx)
-    # (roll-of-flip lowers to two slices; per-element gathers are slow)
-    xr = jax.vmap(lambda x, lx: jnp.roll(x[::-1], lx - bx))(xb, lxb)
-    yr = jax.vmap(lambda y, ly: jnp.roll(y[::-1], ly - by))(yb, lyb)
-
     kk = match.shape[0]
     kp = _round_up(kk, 8)
+    if tile_p is None:
+        tile_p = _pick_tile_p(b, by, kp)
 
     def xmt(codes):
-        # (B, L) codes -> (L, B, 128) match-score rows, lanes 0..kk-1
-        ox = jax.nn.one_hot(codes, kk, dtype=jnp.float32)
-        xm = jax.lax.dot_general(ox, match, (((2,), (0,)), ((), ())),
+        # (B, L) codes -> (L, B, 128) match-score rows, lanes 0..kk-1.
+        # one-hot built on transposed codes so the big (L, B, 128)
+        # output needs no layout change (transposing the tiny int codes
+        # instead of the 128-lane f32 lattice).
+        oxT = jax.nn.one_hot(codes.T, kk, dtype=jnp.float32)
+        xm = jax.lax.dot_general(oxT, match, (((2,), (0,)), ((), ())),
                                  precision=jax.lax.Precision.HIGHEST)
-        return jnp.pad(xm, ((0, 0), (0, 0), (0, 128 - kk))
-                       ).transpose(1, 0, 2)
+        return jnp.pad(xm, ((0, 0), (0, 0), (0, 128 - kk)))
 
     def oyt(codes):
         # (B, L) codes -> (B, KP, L) one-hot along sublanes
@@ -1115,30 +1172,28 @@ def batch_posteriors_pallas(xb, yb, lxb, lyb, match, insert, start, tv,
                             axis=1)          # (B, kk, L)
         return jnp.pad(oy, ((0, 0), (0, kp - kk), (0, 0)))
 
-    jj = jnp.arange(by)
-    lymask = (jj[None, :] == (lyb[:, None] - 1)).astype(jnp.float32)
-    lxf = jnp.broadcast_to(lxb.astype(jnp.float32)[:, None], (b, 128))
-
     params = _params_rows(start, tv, b)
-
+    bstart_b = jnp.broadcast_to(
+        jnp.stack([start[0], start[1], start[1], start[3], start[3]]),
+        (b, 5))
     impl = scan_impl or SCAN_IMPL
-    fm_t, f_end5 = _fwd_pallas_fused(
-        xmt(xb), oyt(yb), insert[xb].T[:, :, None], insert[yb],
-        lymask, lxf, params, tile_p, kk, impl)
-    rbm_t = _bwd_pallas_fused(
-        xmt(xr), oyt(yr), insert[xr].T[:, :, None], insert[yr],
-        params, tile_p, kk, impl)
-    return _finish_posteriors(fm_t, rbm_t, f_end5, lxb, lyb, start,
-                              with_mea, tile_p)
+    if fused is None:
+        fused = FUSED
+    return _letter_path(xb, yb, lxb, lyb, kk, kp, xmt, oyt,
+                        lambda c: insert[c], params, bstart_b, tile_p,
+                        impl, with_mea, fused, interpret)
 
 
 @partial(jax.jit,
-         static_argnames=("with_mea", "tile_p", "scan_impl"))
+         static_argnames=("with_mea", "tile_p", "scan_impl", "fused",
+                          "interpret"))
 def batch_posteriors_pallas_multi(xb, yb, lxb, lyb, match_b, insert_b,
                                   start_b, tv_b,
                                   with_mea: bool = True,
                                   tile_p: int | None = None,
-                                  scan_impl: str | None = None):
+                                  scan_impl: str | None = None,
+                                  fused: bool | None = None,
+                                  interpret: bool = False):
     """batch_posteriors_pallas with per-pair score tables — match_b
     (B, K+1, K+1), insert_b (B, K+1), start_b (B, 5), tv_b (B, 7).
 
@@ -1152,16 +1207,13 @@ def batch_posteriors_pallas_multi(xb, yb, lxb, lyb, match_b, insert_b,
     kp = _round_up(kk, 8)
     if tile_p is None:
         tile_p = _pick_tile_p(b, by, kp)
-    xr = jax.vmap(lambda x, lx: jnp.roll(x[::-1], lx - bx))(xb, lxb)
-    yr = jax.vmap(lambda y, ly: jnp.roll(y[::-1], ly - by))(yb, lyb)
 
     def xmt(codes):
-        # per-pair match rows: (B, L, 128) -> (L, B, 128)
-        ox = jax.nn.one_hot(codes, kk, dtype=jnp.float32)
-        xm = jnp.einsum("blk,bkm->blm", ox, match_b,
+        # per-pair match rows, built directly in (L, B, 128) layout
+        oxT = jax.nn.one_hot(codes.T, kk, dtype=jnp.float32)
+        xm = jnp.einsum("lbk,bkm->lbm", oxT, match_b,
                         precision=jax.lax.Precision.HIGHEST)
-        return jnp.pad(xm, ((0, 0), (0, 0), (0, 128 - kk))
-                       ).transpose(1, 0, 2)
+        return jnp.pad(xm, ((0, 0), (0, 0), (0, 128 - kk)))
 
     def oyt(codes):
         oy = jax.nn.one_hot(codes, kk, dtype=jnp.float32, axis=1)
@@ -1170,38 +1222,25 @@ def batch_posteriors_pallas_multi(xb, yb, lxb, lyb, match_b, insert_b,
     def ins(codes):
         return jnp.take_along_axis(insert_b, codes, axis=1)
 
-    jj = jnp.arange(by)
-    lymask = (jj[None, :] == (lyb[:, None] - 1)).astype(jnp.float32)
-    lxf = jnp.broadcast_to(lxb.astype(jnp.float32)[:, None], (b, 128))
     params = _params_rows_multi(start_b, tv_b)
-
+    bstart_b = jnp.stack([start_b[:, 0], start_b[:, 1], start_b[:, 1],
+                          start_b[:, 3], start_b[:, 3]], axis=1)
     impl = scan_impl or SCAN_IMPL
-    fm_t, f_end5 = _fwd_pallas_fused(
-        xmt(xb), oyt(yb), ins(xb).T[:, :, None], ins(yb),
-        lymask, lxf, params, tile_p, kk, impl)
-    rbm_t = _bwd_pallas_fused(
-        xmt(xr), oyt(yr), ins(xr).T[:, :, None], ins(yr),
-        params, tile_p, kk, impl)
-    return _finish_posteriors_multi(fm_t, rbm_t, f_end5, lxb, lyb,
-                                    start_b, with_mea, tile_p)
+    if fused is None:
+        fused = FUSED
+    return _letter_path(xb, yb, lxb, lyb, kk, kp, xmt, oyt, ins,
+                        params, bstart_b, tile_p, impl, with_mea,
+                        fused, interpret)
 
 
-def _finish_posteriors_multi(fm_t, rbm_t, f_end5, lxb, lyb, start_b,
-                             with_mea, tile_p):
-    """_finish_posteriors with per-pair start scores (total-prob fold
-    uses each pair's own start vector)."""
+def _finish_posteriors_b(fm_t, rbm_t, f_end5, lxb, lyb, bstart_b,
+                         with_mea, tile_p):
+    """Legacy two-lattice posterior combine with per-pair start scores
+    bstart_b (B, 5) in kernel sly order [M, IX, IY, JX, JY]."""
     bx, b, by = fm_t.shape
     ii = jnp.arange(bx)
     jj = jnp.arange(by)
-    # B[s](lx, ly) = start score of state s, per pair; kernel sly layout
-    # is [M, IX, IY, JX, JY] and start layout [M, IX, IY, JX, JY] with
-    # IX==IY and JX==JY entries (see _params_rows): fold directly
-    bstart = jnp.stack([start_b[:, 0], start_b[:, 1], start_b[:, 1],
-                        start_b[:, 3], start_b[:, 3]], axis=1)   # (B, 5)
-    f_end = f_end5[:, :5]
-    tot = jnp.full((b,), LOG_ZERO, jnp.float32)
-    for s in range(5):
-        tot = _log_add(tot, f_end[:, s] + bstart[:, s])
+    tot = _total_prob(f_end5[:, :5], bstart_b)
 
     b_m_t = jax.vmap(
         lambda rb, lx, ly: jnp.roll(rb[::-1, ::-1],
