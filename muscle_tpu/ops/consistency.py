@@ -159,20 +159,32 @@ def _block_core(vals, cols, pid_rows, flag_rows, pid_cols, flag_cols,
         v = jnp.where(cols[ids] >= 0, vals[ids], 0.0)
         m = ids.shape[0]
 
-        if use_pallas:
+        if use_pallas == "pallas":
             # VMEM-resident expansion: K compare+fma passes over
             # registers, ONE HBM write of the dense slab (ops/sparse.py).
             # ~3x faster than the scatter at N=83 BUT its XLA program
             # compiles in 300+s per shape and the remote compile service
             # times out on larger ones — opt-in (MUSCLE_TPU_DENSIFY=
-            # pallas) until the compile cost is understood.
+            # pallas).
             from .sparse import densify_pallas
             d = densify_pallas(v, cols[ids], l)
+        elif use_pallas == "compare":
+            # K-unrolled compare-accumulate in pure XLA: the k chain is
+            # one fused elementwise kernel (VPU compare+fma per slot),
+            # no scatter serialization, no Pallas compile cost. The
+            # default on accelerators (r3 on-chip A/B: equals the
+            # Pallas kernel's runtime within noise, compiles in
+            # seconds).
+            c = cols[ids]
+            jcol = jnp.arange(l, dtype=c.dtype)[None, None, :]
+            d = jnp.zeros((m, l, l), jnp.float32)
+            for k in range(c.shape[-1]):
+                d = d + v[:, :, k:k + 1] * (c[:, :, k:k + 1] == jcol)
         else:
-            # default: scatter-add expansion. TPU scatters serialize
-            # (the dominant consistency cost at large N), but the
-            # program compiles in seconds — and with one compile per
-            # (ladder) shape that wins for cluster pipelines.
+            # scatter-add expansion. TPU scatters serialize (the
+            # dominant consistency cost at large N), but the program
+            # compiles in seconds — and with one compile per (ladder)
+            # shape that wins for cluster pipelines.
             c = jnp.where(cols[ids] >= 0, cols[ids], 0)
             ri = jnp.arange(l)[None, :, None]
             d = jnp.zeros((m, l, l), jnp.float32)
@@ -315,8 +327,11 @@ def consistency_sparse(vals, cols, n: int, iters: int, *,
     inv_n = jnp.float32(1.0 / n)
 
     import os
-    use_pallas = (jax.default_backend() not in ("cpu",)
-                  and os.environ.get("MUSCLE_TPU_DENSIFY") == "pallas")
+    # densify mode for the Z-panel expansion: 'compare' (K-unrolled
+    # compare-accumulate, default on accelerators), 'pallas' (VMEM
+    # kernel; long compile), 'scatter' (serializing but CPU-friendly)
+    use_pallas = os.environ.get("MUSCLE_TPU_DENSIFY") or \
+        ("scatter" if jax.default_backend() == "cpu" else "compare")
     if mesh is None:
         def run(*args):
             return _blocks_wave(*args, bx=blk, by=blk, t=blk, l=l,
