@@ -171,10 +171,13 @@ def _block_core(vals, cols, pid_rows, flag_rows, pid_cols, flag_cols,
         elif use_pallas == "compare":
             # K-unrolled compare-accumulate in pure XLA: the k chain is
             # one fused elementwise kernel (VPU compare+fma per slot),
-            # no scatter serialization, no Pallas compile cost. The
-            # default on accelerators (r3 on-chip A/B: equals the
-            # Pallas kernel's runtime within noise, compiles in
-            # seconds).
+            # no scatter serialization, no Pallas machinery. Default on
+            # accelerators — measured on chip (N=64, L=512, K=32):
+            # 2.69 s/iter vs the scatter's 5.90 s (2.2x), bit-equal
+            # output; ~2 min compile per ladder shape, persistently
+            # cached (utils/jaxsetup.py). A fori_loop over k compiles
+            # in 1 s but runs 3x slower — the unroll is the right
+            # trade for the hot loop.
             c = cols[ids]
             jcol = jnp.arange(l, dtype=c.dtype)[None, None, :]
             d = jnp.zeros((m, l, l), jnp.float32)
