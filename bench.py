@@ -45,7 +45,8 @@ BASELINE_CORES = 64
 # in vs_baseline to the 64-core node assumption (perfect scaling — a
 # baseline favorable to the reference since OpenMP over pairs is its
 # only parallel axis). Override via env.
-REF_MPC200_WALL_S = float(os.environ.get("MUSCLE_TPU_REF_MPC200", 478.0))
+# measured 2026-08-21: /tmp/refbuild/muscle -align rdrp200.fa: 58m34s
+REF_MPC200_WALL_S = float(os.environ.get("MUSCLE_TPU_REF_MPC200", 3514.0))
 REF_ENS4_WALL_S = float(os.environ.get("MUSCLE_TPU_REF_ENS4", 37.0))
 REF_SCALING = 2.0 / BASELINE_CORES   # measured cores / target cores
 

@@ -258,44 +258,58 @@ def _nb_bucket(n: int, blk: int) -> int:
     return nb
 
 
-def _wave_plan(n, blk, dump, nb=None):
+def _wave_plan(n, blk, dump, nb=None, group=1):
     """Host-side block descriptors for one iteration: stacked
     (NB, bx, nb) row maps, (NB, nb, by) col maps, (NB, bx, by) output
-    pair ids over the upper-triangular block grid."""
+    pair ids over the upper-triangular block grid.
+
+    group > 1 emits RECTANGLES of `group` adjacent column blocks
+    (by = group*blk): the row z-panels are densified once per
+    rectangle instead of once per block — densification is the
+    dominant consistency cost — and the matmuls get wider. Overhang
+    columns are dump-padded (exact zeros)."""
     if nb is None:
         nb = -(-n // blk) * blk
     pid, flag = _block_maps(n, nb, dump)
     prs, frs, pcs, fcs, pos = [], [], [], [], []
     nblk = nb // blk
+    gw = group * blk
     for bi in range(nblk):
         rs = slice(bi * blk, (bi + 1) * blk)
-        for bj in range(bi, nblk):
-            cs = slice(bj * blk, (bj + 1) * blk)
-            po = np.full((blk, blk), dump, np.int32)
+        for bj0 in range(bi, nblk, group):
+            width = min(group, nblk - bj0)
+            cs = slice(bj0 * blk, (bj0 + width) * blk)
+            pc = np.full((nb, gw), dump, np.int32)
+            fc = np.zeros((nb, gw), np.int32)
+            po = np.full((blk, gw), dump, np.int32)
+            pc[:, :width * blk] = pid[:, cs]
+            fc[:, :width * blk] = flag[:, cs]
             for a in range(rs.start, min(rs.stop, n)):
                 for b in range(max(cs.start, a + 1), min(cs.stop, n)):
                     po[a - rs.start, b - cs.start] = pair_index(a, b, n)
             prs.append(pid[rs])
             frs.append(flag[rs])
-            pcs.append(pid[:, cs])
-            fcs.append(flag[:, cs])
+            pcs.append(pc)
+            fcs.append(fc)
             pos.append(po)
     stack = lambda x: np.stack(x).astype(np.int32)
     return stack(prs), stack(frs), stack(pcs), stack(fcs), stack(pos)
 
 
-def _dummy_block(dump, blk, nb):
+def _dummy_block(dump, blk, nb, group=1):
     """All-dump block descriptor (pads waves to a device multiple)."""
+    gw = group * blk
     return (np.full((blk, nb), dump, np.int32),
             np.zeros((blk, nb), np.int32),
-            np.full((nb, blk), dump, np.int32),
-            np.zeros((nb, blk), np.int32),
-            np.full((blk, blk), dump, np.int32))
+            np.full((nb, gw), dump, np.int32),
+            np.zeros((nb, gw), np.int32),
+            np.full((blk, gw), dump, np.int32))
 
 
 def consistency_sparse(vals, cols, n: int, iters: int, *,
                        seq_block: int = 16, precision: str = "highest",
-                       wave: int | None = None, mesh=None):
+                       wave: int | None = None, mesh=None,
+                       max_nnz: int | None = None):
     """Run `iters` consistency iterations over the device sparse store.
 
     vals/cols: (>= P+1, L, K) device arrays in canonical pair order;
@@ -308,20 +322,42 @@ def consistency_sparse(vals, cols, n: int, iters: int, *,
     inserts the store all-gather / output merge over ICI.
     """
     p1, l, k = vals.shape
+    k_full = k
+    if max_nnz is not None and max(8, -(-int(max_nnz) // 8) * 8) < k:
+        # densify cost is linear in K and sparsify packs valid slots
+        # first (top_k), so run the iteration on the occupied prefix
+        # only and pad back at the end — exact, often ~2x less panel
+        # expansion work (real posteriors rarely fill K=32 slots)
+        k = max(8, -(-int(max_nnz) // 8) * 8)
+        vals = vals[:, :, :k]
+        cols = cols[:, :, :k]
+    import os
     n_pairs = n * (n - 1) // 2
     dump = p1 - 1
     assert n_pairs <= dump
     blk = min(seq_block, max(1, n))
     nb = _nb_bucket(n, blk)
-    prs, frs, pcs, fcs, pos = _wave_plan(n, blk, dump, nb)
+    # rectangle width (in blocks): `group` adjacent column blocks share
+    # one densified row z-panel. Measured on chip (N=64, L=512, K16):
+    # group=1 4.5 s/iter, group=2 6.5, group=4 5.7 — the triangular
+    # grid's dump-padding waste and the lost wave parallelism outweigh
+    # the panel reuse, so the default stays 1 (env knob kept for
+    # larger-N experiments).
+    nblk = nb // blk
+    group = 1
+    if os.environ.get("MUSCLE_TPU_CONS_GROUP"):
+        group = max(1, min(int(os.environ["MUSCLE_TPU_CONS_GROUP"]), nblk))
+    gw = group * blk
+    prs, frs, pcs, fcs, pos = _wave_plan(n, blk, dump, nb, group)
     nblk_total = prs.shape[0]
     if wave is None:
-        # bound the wave's live HBM: per block, two densified
-        # (blk*L, blk*L) z-panels (double/triple-buffered across the
-        # fori accumulate) + the (blk*L, blk*L) accumulator + output
-        # pattern. Each block already saturates the MXU with 8k-sized
-        # matmuls, so small waves cost little parallelism.
-        per_block = (3 * 2 * blk * blk + blk * blk) * l * l * 4
+        # bound the wave's live HBM: per rectangle, the densified
+        # (blk*L, blk*L) row panel + (blk*L, gw*L) col panel
+        # (double/triple-buffered across the fori accumulate) + the
+        # (blk*L, gw*L) accumulator + output pattern. Each rectangle
+        # already saturates the MXU, so small waves cost little
+        # parallelism.
+        per_block = (3 * (blk * blk + blk * gw) + blk * gw) * l * l * 4
         wave = max(1, min(nblk_total, (3 << 30) // max(1, per_block)))
     n_dev = 1
     if mesh is not None:
@@ -329,7 +365,6 @@ def consistency_sparse(vals, cols, n: int, iters: int, *,
         wave = -(-wave // n_dev) * n_dev
     inv_n = jnp.float32(1.0 / n)
 
-    import os
     # densify mode for the Z-panel expansion: 'compare' (K-unrolled
     # compare-accumulate, default on accelerators), 'pallas' (VMEM
     # kernel; long compile), 'scatter' (serializing but CPU-friendly)
@@ -337,7 +372,7 @@ def consistency_sparse(vals, cols, n: int, iters: int, *,
         ("scatter" if jax.default_backend() == "cpu" else "compare")
     if mesh is None:
         def run(*args):
-            return _blocks_wave(*args, bx=blk, by=blk, t=blk, l=l,
+            return _blocks_wave(*args, bx=blk, by=gw, t=blk, l=l,
                                 precision=precision,
                                 use_pallas=use_pallas)
     else:
@@ -350,7 +385,7 @@ def consistency_sparse(vals, cols, n: int, iters: int, *,
         def _fixed(vals_, cols_, out_, prs_, frs_, pcs_, fcs_, pos_,
                    inv_n_):
             return base(vals_, cols_, out_, prs_, frs_, pcs_, fcs_,
-                        pos_, inv_n_, bx=blk, by=blk, t=blk, l=l,
+                        pos_, inv_n_, bx=blk, by=gw, t=blk, l=l,
                         precision=precision, use_pallas=use_pallas)
 
         run = jax.jit(_fixed, donate_argnums=(2,),
@@ -376,7 +411,7 @@ def consistency_sparse(vals, cols, n: int, iters: int, *,
                     pad = (wave - w[0].shape[0]
                            if lo + wave > nblk_total else 0)
                     if pad:
-                        dmy = _dummy_block(dump, blk, nb)
+                        dmy = _dummy_block(dump, blk, nb, group)
                         w = [np.concatenate([a, np.stack([d] * pad)])
                              for a, d in zip(w, dmy)]
                     out = run(vals, cols, out,
@@ -395,4 +430,6 @@ def consistency_sparse(vals, cols, n: int, iters: int, *,
                     delay)
                 _time.sleep(delay)
         vals = out
+    if k < k_full:
+        vals = jnp.pad(vals, ((0, 0), (0, 0), (0, k_full - k)))
     return vals

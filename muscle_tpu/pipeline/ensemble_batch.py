@@ -103,7 +103,8 @@ def run_replicates_batched(seqs: MultiSequence, reps, load_hp, alpha: str,
                 seq_block = max(1, min(16, 16384 // pad_to))
                 with mlog.stage("consistency"):
                     sv = consistency_sparse(sv, sc, n, consiters,
-                                            seq_block=seq_block)
+                                            seq_block=seq_block,
+                                            max_nnz=min(int(max_nnz), 32))
             posts = PairPosteriors()
             vals_np = np.asarray(sv)
             cols_np = np.asarray(sc)

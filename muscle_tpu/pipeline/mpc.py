@@ -175,7 +175,8 @@ class MPC:
                 store_v = consistency_sparse(
                     store_v, store_c, n, self.consistency_iters,
                     seq_block=seq_block,
-                    precision=self.consistency_precision)
+                    precision=self.consistency_precision,
+                    max_nnz=min(int(max_nnz), self.sparse_k))
         # single bulk device->host fetch of the (small) sparse store
         posts = PairPosteriors()
         vals_np = np.asarray(store_v)
