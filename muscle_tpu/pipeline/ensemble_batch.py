@@ -106,8 +106,9 @@ def run_replicates_batched(seqs: MultiSequence, reps, load_hp, alpha: str,
                                             seq_block=seq_block,
                                             max_nnz=min(int(max_nnz), 32))
             posts = PairPosteriors()
+            import jax.numpy as jnp
             vals_np = np.asarray(sv)
-            cols_np = np.asarray(sc)
+            cols_np = np.asarray(sc.astype(jnp.int16)).astype(np.int32)
             for i, (x, y) in enumerate(pairs):
                 posts.set_sparse(x, y, vals_np[i, :lens[x]],
                                  cols_np[i, :lens[x]], int(lens[y]))

@@ -294,6 +294,64 @@ def all_pairs_posteriors_sparse(codes: np.ndarray, lens: np.ndarray,
 LONG_PAIR_THRESHOLD = 8192
 
 
+# HBM budget for the Pallas long path: the fwd-M and posterior
+# lattices are (Lx, 8, Ly) f32 at the minimum tile (sublane 8), so
+# 8 * cells * 4 bytes each; 160M cells ~= a 12.6k x 12.6k pair.
+# Beyond it the O(sqrt) checkpoint/recompute scan path takes over
+# (no length cap at all).
+_LONG_PALLAS_CELL_BUDGET = 160 * 1024 * 1024
+
+
+def _long_rung(v: int) -> int:
+    """Ladder rung for long-path padding (exact 128-multiples beyond
+    the ladder — e.g. a 100k x 1k pair still fits the cell budget)."""
+    if v <= BUCKET_LADDER[-1]:
+        return _bucket_of(v, BUCKET_LADDER[-1])
+    return round_up(v, 128)
+
+
+def _long_pairs_pallas_batch(codes, lens, pack, batch, k):
+    """Up to 8 long pairs through the regular fused Pallas kernels.
+
+    The batched path refuses L > LONG_PAIR_THRESHOLD only because a
+    (Lx, B, Ly) lattice at production batch sizes blows HBM — at the
+    minimum tile (B=8, Mosaic's f32 sublane) pairs up to ~12.6k run on
+    the optimized kernel (the reference caps at ~21k,
+    src/calcpost.cpp:8-9). Real long pairs fill the 8 lanes; only the
+    final remainder replicates. Rectangular ladder padding bounds the
+    compile-shape count. Returns [(vals, cols, ea, nnz)] per pair."""
+    import jax
+    from ..ops import pairhmm
+    from ..ops.pairhmm_pallas import batch_posteriors_pallas
+    from ..ops import sparse as sp
+
+    args = pairhmm.score_args(pack)
+    full = batch + [batch[0]] * (8 - len(batch))
+    px = max(_long_rung(int(lens[x])) for x, _ in full)
+    py = max(_long_rung(int(lens[y])) for _, y in full)
+    wild = args[0].shape[0] - 1
+    xb = np.full((8, px), wild, np.int32)
+    yb = np.full((8, py), wild, np.int32)
+    lx = np.empty(8, np.int32)
+    ly = np.empty(8, np.int32)
+    for j, (x, y) in enumerate(full):
+        lx[j] = lens[x]
+        ly[j] = lens[y]
+        xb[j, :lx[j]] = codes[x][:lx[j]]
+        yb[j, :ly[j]] = codes[y][:ly[j]]
+    post, ea = batch_posteriors_pallas(
+        jnp.asarray(xb), jnp.asarray(yb),
+        jnp.asarray(lx), jnp.asarray(ly), *args, tile_p=8)
+    vals, cols, nnz = jax.jit(sp.sparsify, static_argnames=("k",))(
+        post, k=k)
+    vals = np.asarray(vals)
+    cols = np.asarray(cols)
+    ea = np.asarray(ea)
+    nnz = int(np.asarray(nnz))
+    return [(vals[j], cols[j], float(ea[j]), nnz)
+            for j in range(len(batch))]
+
+
 def _long_pairs_sparse(codes, lens, pack, pairs, k):
     """Per-pair long-sequence posterior loop (host store)."""
     from ..ops.pairhmm_long import long_pair_posterior_sparse
@@ -303,7 +361,38 @@ def _long_pairs_sparse(codes, lens, pack, pairs, k):
     sc = np.full((n_pairs + 1, l, k), -1, np.int32)
     ea = np.zeros(n_pairs, np.float32)
     max_nnz = 0
+    use_pallas = default_backend() == "pallas"
+
+    def fits(x, y):
+        return (round_up(int(lens[x]), 128) * round_up(int(lens[y]), 128)
+                <= _LONG_PALLAS_CELL_BUDGET)
+
+    # group Pallas-eligible pairs by their (px, py) ladder rectangle so
+    # batches share one compile shape and fill the 8 lanes with real work
+    from collections import defaultdict
+    groups: dict[tuple[int, int], list[int]] = defaultdict(list)
+    scan_idx = []
     for i, (x, y) in enumerate(pairs):
+        if use_pallas and fits(x, y):
+            key = (_long_rung(int(lens[x])), _long_rung(int(lens[y])))
+            groups[key].append(i)
+        else:
+            scan_idx.append(i)
+
+    for key, idxs in groups.items():
+        for lo in range(0, len(idxs), 8):
+            ch = idxs[lo:lo + 8]
+            results = _long_pairs_pallas_batch(
+                codes, lens, pack, [pairs[t] for t in ch], k)
+            for i, (vals, cols, ea_p, nnz) in zip(ch, results):
+                x = pairs[i][0]
+                sv[i, :lens[x]] = vals[:lens[x]]
+                sc[i, :lens[x]] = cols[:lens[x]]
+                ea[i] = ea_p
+                max_nnz = max(max_nnz, nnz)
+
+    for i in scan_idx:
+        x, y = pairs[i]
         vals, cols, ea_p, _tot = long_pair_posterior_sparse(
             codes[x][:lens[x]], codes[y][:lens[y]], pack, k=k,
             row_block=2048)
