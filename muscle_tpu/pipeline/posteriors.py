@@ -294,20 +294,23 @@ def all_pairs_posteriors_sparse(codes: np.ndarray, lens: np.ndarray,
 LONG_PAIR_THRESHOLD = 8192
 
 
-# HBM budget for the Pallas long path: the fwd-M and posterior
-# lattices are (Lx, 8, Ly) f32 at the minimum tile (sublane 8), so
-# 8 * cells * 4 bytes each; 160M cells ~= a 12.6k x 12.6k pair.
-# Beyond it the O(sqrt) checkpoint/recompute scan path takes over
-# (no length cap at all).
+# Pallas long-path limits: VMEM scratch at the minimum tile (sublane
+# 8) caps the LANE axis at ~9.9k (measured: 19.85M scoped vmem at
+# Ly=12288 vs the 16M limit, linear in Ly), and the (Lx, 8, Ly) f32
+# fwd-M + posterior lattices cap total cells in HBM. Beyond either the
+# O(sqrt) checkpoint/recompute scan path takes over (no length cap).
+_LONG_PALLAS_MAX_LY = 9856
 _LONG_PALLAS_CELL_BUDGET = 160 * 1024 * 1024
 
 
 def _long_rung(v: int) -> int:
-    """Ladder rung for long-path padding (exact 128-multiples beyond
-    the ladder — e.g. a 100k x 1k pair still fits the cell budget)."""
-    if v <= BUCKET_LADDER[-1]:
-        return _bucket_of(v, BUCKET_LADDER[-1])
-    return round_up(v, 128)
+    """Padding rung for the Pallas long path: the ladder below the
+    batch threshold, 512-multiples above it (the ladder's next rung,
+    12288, exceeds the tile_p=8 VMEM lane cap; long pairs are rare
+    enough that finer rungs cost few compiles)."""
+    if v <= LONG_PAIR_THRESHOLD:
+        return _bucket_of(v, LONG_PAIR_THRESHOLD)
+    return round_up(v, 512)
 
 
 def _long_pairs_pallas_batch(codes, lens, pack, batch, k):
@@ -364,7 +367,9 @@ def _long_pairs_sparse(codes, lens, pack, pairs, k):
     use_pallas = default_backend() == "pallas"
 
     def fits(x, y):
-        return (round_up(int(lens[x]), 128) * round_up(int(lens[y]), 128)
+        py = round_up(int(lens[y]), 128)
+        return (py <= _LONG_PALLAS_MAX_LY and
+                round_up(int(lens[x]), 128) * py
                 <= _LONG_PALLAS_CELL_BUDGET)
 
     # group Pallas-eligible pairs by their (px, py) ladder rectangle so
