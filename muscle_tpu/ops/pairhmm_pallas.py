@@ -757,6 +757,46 @@ def _bwd_post_pallas(xm_flip_t, oy_flip, insx_flip_t, insy_flip, fm_t,
     return post_t
 
 
+def _bwd_post_pallas_emissions(e_flip_t, insx_flip_t, insy_flip, fm_t,
+                               lens2, params_tot, tile_p,
+                               impl="hillis", interpret=False):
+    """Fused backward+posterior from a precomputed emission lattice
+    (Muscle-3D profile path): e_flip_t (Lx, B, Ly) is the PLAIN-FLIPPED
+    emission lattice e[:, ::-1, ::-1] transposed to row-major — no
+    per-pair roll. Other args as _bwd_post_pallas."""
+    lx, b, ly = e_flip_t.shape
+    grid = (b // tile_p, lx)
+    post_t = pl.pallas_call(
+        partial(_bwd_post_kernel, lx, None, impl),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_p, 16), lambda t, i: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_p, ly),
+                         lambda t, i: (jnp.maximum(i - 1, 0), t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_p, 1),
+                         lambda t, i: (jnp.maximum(i - 1, 0), t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_p, ly), lambda t, i: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_p, ly),
+                         lambda t, i: (lx - 1 - i, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_p, 128), lambda t, i: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_p, ly),
+                               lambda t, i: (lx - 1 - i, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((lx, b, ly), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tile_p, ly), jnp.float32)] * 5
+        + [pltpu.VMEM((tile_p, 128), jnp.float32)],
+        interpret=interpret,
+    )(params_tot, e_flip_t, insx_flip_t, insy_flip, fm_t, lens2)
+    return post_t
+
+
 def _total_prob(f_end5, bstart):
     """Total log-prob fold from the forward final states — same LOG_ADD
     order as the reference (src/totalprobflat.cpp:3-16). bstart (B, 5)
@@ -1036,6 +1076,28 @@ def batch_posteriors_pallas_emissions(e, e_rev, ins_x, ins_y, ins_xr,
     fm_t, f_end5 = _fwd_pallas(e.transpose(1, 0, 2),
                                ins_x.T[:, :, None], ins_y, lymask, lxf,
                                params, tile_p, impl)
+    if FUSED:
+        bstart_b = jnp.broadcast_to(
+            jnp.stack([start[0], start[1], start[1], start[3],
+                       start[3]]), (b, 5))
+        tot = _total_prob(f_end5[:, :5], bstart_b)
+        params_tot = params.at[:, P_TOT].set(tot)
+        lane128 = jnp.arange(128)[None, :]
+        lens2 = jnp.where(
+            lane128 == 0, lxb.astype(jnp.float32)[:, None],
+            jnp.where(lane128 == 1, lyb.astype(jnp.float32)[:, None],
+                      0.0))
+        # plain flips — e_rev (per-pair roll-flip) is NOT used here
+        e_flip_t = e[:, ::-1, ::-1].transpose(1, 0, 2)
+        post_t = _bwd_post_pallas_emissions(
+            e_flip_t, ins_x[:, ::-1].T[:, :, None], ins_y[:, ::-1],
+            fm_t, lens2, params_tot, tile_p, impl)
+        if with_mea:
+            scores = mea_scores_pallas(post_t, tile_p)
+            ea = scores / jnp.minimum(lxb, lyb).astype(jnp.float32)
+        else:
+            ea = jnp.zeros((b,), jnp.float32)
+        return post_t.transpose(1, 0, 2), ea
     rbm_t = _bwd_pallas(e_rev.transpose(1, 0, 2),
                         ins_xr.T[:, :, None], ins_yr,
                         params, tile_p, impl)
