@@ -169,20 +169,27 @@ def _block_core(vals, cols, pid_rows, flag_rows, pid_cols, flag_cols,
             from .sparse import densify_pallas
             d = densify_pallas(v, cols[ids], l)
         elif use_pallas == "compare":
-            # K-unrolled compare-accumulate in pure XLA: the k chain is
-            # one fused elementwise kernel (VPU compare+fma per slot),
-            # no scatter serialization, no Pallas machinery. Default on
-            # accelerators — measured on chip (N=64, L=512, K=32):
-            # 2.69 s/iter vs the scatter's 5.90 s (2.2x), bit-equal
-            # output; ~2 min compile per ladder shape, persistently
-            # cached (utils/jaxsetup.py). A fori_loop over k compiles
-            # in 1 s but runs 3x slower — the unroll is the right
-            # trade for the hot loop.
+            # K compare-accumulate passes in pure XLA (VPU compare+fma
+            # per slot): no scatter serialization, no Pallas machinery.
+            # Default on accelerators — measured on chip (N=64, L=512,
+            # K=32): 2.69 s/iter vs the scatter's 5.90 s (2.2x),
+            # bit-equal output. Structured as lax.scan(unroll=8) rather
+            # than a plain Python unroll: the full unroll sometimes
+            # fails to fuse and XLA keeps every (m, l, l) intermediate
+            # live (measured 19 GB HBM OOM at n=14), while the scan
+            # bounds peak memory at the accumulator + one unroll window
+            # and keeps near-unrolled throughput.
             c = cols[ids]
             jcol = jnp.arange(l, dtype=c.dtype)[None, None, :]
-            d = jnp.zeros((m, l, l), jnp.float32)
-            for k in range(c.shape[-1]):
-                d = d + v[:, :, k:k + 1] * (c[:, :, k:k + 1] == jcol)
+            vk = jnp.moveaxis(v, -1, 0)[:, :, :, None]    # (K, m, l, 1)
+            ck = jnp.moveaxis(c, -1, 0)[:, :, :, None]
+
+            def kstep(d, vc):
+                vs, cs = vc
+                return d + vs * (cs == jcol), None
+
+            d, _ = jax.lax.scan(kstep, jnp.zeros((m, l, l), jnp.float32),
+                                (vk, ck), unroll=8)
         else:
             # scatter-add expansion. TPU scatters serialize (the
             # dominant consistency cost at large N), but the program
