@@ -562,7 +562,7 @@ def _flip_lanes(x):
     return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
 
 
-def _bwd_post_kernel(n_rows, kk, impl, params, *refs):
+def _bwd_post_kernel(n_rows, kk, impl, with_mea, params, *refs):
     """Backward recurrence + posterior combine in ONE pass.
 
     Consumes PLAIN-FLIPPED padded sequences (x_flip[p] = x_pad[Bx-1-p],
@@ -592,10 +592,14 @@ def _bwd_post_kernel(n_rows, kk, impl, params, *refs):
     """
     if kk is None:
         (e_ref, insx_ref, insy_ref, fm_ref, lens_ref, post_ref,
-         m_s, ix_s, iy_s, jx_s, jy_s, c0_s) = refs
+         *rest) = refs
     else:
         (xm_ref, oy_ref, insx_ref, insy_ref, fm_ref, lens_ref, post_ref,
-         m_s, ix_s, iy_s, jx_s, jy_s, c0_s) = refs
+         *rest) = refs
+    if with_mea:
+        (mea_ref, m_s, ix_s, iy_s, jx_s, jy_s, c0_s, mea_s) = rest
+    else:
+        (m_s, ix_s, iy_s, jx_s, jy_s, c0_s) = rest
     u = pl.program_id(1)
     L = insy_ref.shape[1]
     scan2, log_add, log_add5 = _impl_fns(impl)
@@ -696,34 +700,72 @@ def _bwd_post_kernel(n_rows, kk, impl, params, *refs):
         c0_s[:, 1:2] = jnp.where(pin, jx0_p, jx0_new)
         c0_s[:, 2:3] = jnp.where(pin, m0_p, m0_new)
 
-    # combine: B_M row (shifted, lane-flipped to forward column order)
-    # + streamed F_M row - total, thresholded at 0.01 (reference:
-    # src/calcposteriorflat.cpp:4-27). Rows with i > lx and lanes with
-    # j > ly are masked to zero.
-    b_fwd = _flip_lanes(_shift_fill(m_s[:, :], c0_s[:, 2:3]))
-    fm_row = fm_ref[0, :, :]
-    score = fm_row + b_fwd - tot
+    # combine: B_M row (shifted) + streamed F_M row (lane-flipped into
+    # the backward's native column order) - total, thresholded at 0.01
+    # (reference: src/calcposteriorflat.cpp:4-27). Rows with i > lx and
+    # lanes with j > ly are masked to zero. Native-lane combine lets
+    # the fused MEA row-scan consume the both-axes-reversed stream
+    # (which preserves the MEA optimum — monotone paths map to
+    # monotone paths); the row is lane-flipped once more for the
+    # forward-coordinate lattice write.
+    b_nat = _shift_fill(m_s[:, :], c0_s[:, 2:3])
+    fm_nat = _flip_lanes(fm_ref[0, :, :])
+    score = fm_nat + b_nat - tot
     pf = jnp.float32(n_rows) - 1.0 - jnp.float32(u)   # forward row index
-    valid = (pf < lxv) & (lanef < lyv)
-    post_ref[0, :, :] = jnp.where(
-        (score >= MIN_SPARSE_SCORE) & valid,
-        jnp.exp(jnp.minimum(score, 0.0)), 0.0)
+    row_ok = pf < lxv
+    valid = row_ok & jnp.logical_not(padmask)
+    post_nat = jnp.where((score >= MIN_SPARSE_SCORE) & valid,
+                         jnp.exp(jnp.minimum(score, 0.0)), 0.0)
+    post_ref[0, :, :] = _flip_lanes(post_nat)
+
+    if with_mea:
+        # MEA running row over the reversed stream (the final corner
+        # (i=1, j=1) lands at the last lane of the last grid step for
+        # every pair — end-aligned). reference:
+        # src/calcalnscoreflat.cpp:4-32.
+        @pl.when(u == 0)
+        def _():
+            mea_s[:, :] = jnp.zeros(mea_s.shape, jnp.float32)
+
+        old_row = mea_s[:, :]
+        e = jnp.maximum(_shift_fill(old_row, 0.0) + post_nat, old_row)
+        new_row = _max_scan_lanes(jnp.maximum(e, 0.0), L)
+        mea_s[:, :] = new_row
+
+        @pl.when(u == n_rows - 1)
+        def _():
+            pcount = new_row.shape[0]
+            mea_ref[:, :] = jnp.concatenate(
+                [new_row[:, L - 1:L],
+                 jnp.zeros((pcount, 127), jnp.float32)], axis=1)
 
 
 def _bwd_post_pallas(xm_flip_t, oy_flip, insx_flip_t, insy_flip, fm_t,
                      lens2, params_tot, tile_p, kk, impl="hillis",
-                     interpret=False):
-    """Fused-emission backward + posterior. xm_flip_t (Lx, B, 128)
-    streamed match rows of the plain-flipped x; oy_flip (B, KP, Ly)
-    one-hot of the plain-flipped y; fm_t (Lx, B, Ly) forward M lattice
-    (start-aligned); lens2 (B, 128) with lane0=lx, lane1=ly;
-    params_tot (B, 16) with lane 10 = total log-prob. Returns the
-    (Lx, B, Ly) posterior lattice in forward coordinates."""
+                     with_mea=True, interpret=False):
+    """Fused-emission backward + posterior (+ MEA score). xm_flip_t
+    (Lx, B, 128) streamed match rows of the plain-flipped x; oy_flip
+    (B, KP, Ly) one-hot of the plain-flipped y; fm_t (Lx, B, Ly)
+    forward M lattice (start-aligned); lens2 (B, 128) with lane0=lx,
+    lane1=ly; params_tot (B, 16) with lane 10 = total log-prob.
+    Returns the (Lx, B, Ly) posterior lattice in forward coordinates
+    and, with_mea, the (B, 128) MEA scores (lane 0)."""
     lx, b, _ = xm_flip_t.shape
     kp, ly = oy_flip.shape[1], oy_flip.shape[2]
     grid = (b // tile_p, lx)
-    post_t = pl.pallas_call(
-        partial(_bwd_post_kernel, lx, kk, impl),
+    out_specs = [pl.BlockSpec((1, tile_p, ly),
+                              lambda t, i: (lx - 1 - i, t, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((lx, b, ly), jnp.float32)]
+    scratch = [pltpu.VMEM((tile_p, ly), jnp.float32)] * 5         + [pltpu.VMEM((tile_p, 128), jnp.float32)]
+    if with_mea:
+        out_specs.append(pl.BlockSpec((tile_p, 128),
+                                      lambda t, i: (t, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((b, 128), jnp.float32))
+        scratch.append(pltpu.VMEM((tile_p, ly), jnp.float32))
+    res = pl.pallas_call(
+        partial(_bwd_post_kernel, lx, kk, impl, with_mea),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_p, 16), lambda t, i: (t, 0),
@@ -745,29 +787,38 @@ def _bwd_post_pallas(xm_flip_t, oy_flip, insx_flip_t, insy_flip, fm_t,
             pl.BlockSpec((tile_p, 128), lambda t, i: (t, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tile_p, ly),
-                               lambda t, i: (lx - 1 - i, t, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((lx, b, ly), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((tile_p, ly), jnp.float32)] * 5
-        + [pltpu.VMEM((tile_p, 128), jnp.float32)],
+        out_specs=out_specs if with_mea else out_specs[0],
+        out_shape=out_shape if with_mea else out_shape[0],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(params_tot, xm_flip_t, oy_flip, insx_flip_t, insy_flip, fm_t,
       lens2)
-    return post_t
+    return res if with_mea else (res, None)
 
 
 def _bwd_post_pallas_emissions(e_flip_t, insx_flip_t, insy_flip, fm_t,
                                lens2, params_tot, tile_p,
-                               impl="hillis", interpret=False):
+                               impl="hillis", with_mea=True,
+                               interpret=False):
     """Fused backward+posterior from a precomputed emission lattice
     (Muscle-3D profile path): e_flip_t (Lx, B, Ly) is the PLAIN-FLIPPED
     emission lattice e[:, ::-1, ::-1] transposed to row-major — no
     per-pair roll. Other args as _bwd_post_pallas."""
     lx, b, ly = e_flip_t.shape
     grid = (b // tile_p, lx)
-    post_t = pl.pallas_call(
-        partial(_bwd_post_kernel, lx, None, impl),
+    out_specs = [pl.BlockSpec((1, tile_p, ly),
+                              lambda t, i: (lx - 1 - i, t, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((lx, b, ly), jnp.float32)]
+    scratch = [pltpu.VMEM((tile_p, ly), jnp.float32)] * 5         + [pltpu.VMEM((tile_p, 128), jnp.float32)]
+    if with_mea:
+        out_specs.append(pl.BlockSpec((tile_p, 128),
+                                      lambda t, i: (t, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((b, 128), jnp.float32))
+        scratch.append(pltpu.VMEM((tile_p, ly), jnp.float32))
+    res = pl.pallas_call(
+        partial(_bwd_post_kernel, lx, None, impl, with_mea),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_p, 16), lambda t, i: (t, 0),
@@ -786,15 +837,12 @@ def _bwd_post_pallas_emissions(e_flip_t, insx_flip_t, insy_flip, fm_t,
             pl.BlockSpec((tile_p, 128), lambda t, i: (t, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tile_p, ly),
-                               lambda t, i: (lx - 1 - i, t, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((lx, b, ly), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((tile_p, ly), jnp.float32)] * 5
-        + [pltpu.VMEM((tile_p, 128), jnp.float32)],
+        out_specs=out_specs if with_mea else out_specs[0],
+        out_shape=out_shape if with_mea else out_shape[0],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(params_tot, e_flip_t, insx_flip_t, insy_flip, fm_t, lens2)
-    return post_t
+    return res if with_mea else (res, None)
 
 
 def _total_prob(f_end5, bstart):
@@ -1047,7 +1095,7 @@ def _pick_tile_p(b: int, ly: int | None = None, kp: int = 0) -> int:
             continue
         if ly is None:
             return t
-        need = t * 4 * ((10 + kp + 4) * ly + 512)
+        need = t * 4 * ((10 + kp + 5) * ly + 512)
         if need <= _VMEM_BUDGET:
             return t
     return 8 if b % 8 == 0 else 1
@@ -1089,12 +1137,11 @@ def batch_posteriors_pallas_emissions(e, e_rev, ins_x, ins_y, ins_xr,
                       0.0))
         # plain flips — e_rev (per-pair roll-flip) is NOT used here
         e_flip_t = e[:, ::-1, ::-1].transpose(1, 0, 2)
-        post_t = _bwd_post_pallas_emissions(
+        post_t, mea128 = _bwd_post_pallas_emissions(
             e_flip_t, ins_x[:, ::-1].T[:, :, None], ins_y[:, ::-1],
-            fm_t, lens2, params_tot, tile_p, impl)
+            fm_t, lens2, params_tot, tile_p, impl, with_mea=with_mea)
         if with_mea:
-            scores = mea_scores_pallas(post_t, tile_p)
-            ea = scores / jnp.minimum(lxb, lyb).astype(jnp.float32)
+            ea = mea128[:, 0] / jnp.minimum(lxb, lyb).astype(jnp.float32)
         else:
             ea = jnp.zeros((b,), jnp.float32)
         return post_t.transpose(1, 0, 2), ea
@@ -1175,14 +1222,12 @@ def _letter_path(xb, yb, lxb, lyb, kk, kp, xmt, oyt, ins, params,
                       0.0))
         xfl = xb[:, ::-1]
         yfl = yb[:, ::-1]
-        post_t = _bwd_post_pallas(
+        post_t, mea128 = _bwd_post_pallas(
             xmt(xfl), oyt(yfl), ins(xfl).T[:, :, None], ins(yfl),
             fm_t, lens2, params_tot, tile_p, kk, impl,
-            interpret=interpret)
+            with_mea=with_mea, interpret=interpret)
         if with_mea:
-            scores = mea_scores_pallas(post_t, tile_p,
-                                       interpret=interpret)
-            ea = scores / jnp.minimum(lxb, lyb).astype(jnp.float32)
+            ea = mea128[:, 0] / jnp.minimum(lxb, lyb).astype(jnp.float32)
         else:
             ea = jnp.zeros((b,), jnp.float32)
         return post_t.transpose(1, 0, 2), ea
