@@ -412,7 +412,7 @@ def _long_pairs_sparse(codes, lens, pack, pairs, k):
 
 def ensemble_pairs_posteriors_sparse(codes: np.ndarray, lens: np.ndarray,
                                      packs, pairs: list[tuple[int, int]],
-                                     batch_size: int = 32, k: int = 32,
+                                     batch_size: int = 256, k: int = 32,
                                      backend: str = "auto",
                                      with_mea: bool = True):
     """Pair grids of R differently-parameterized HMMs in ONE device
