@@ -66,7 +66,7 @@ def bench_pairhmm():
     B = int(os.environ.get("BENCH_BATCH", 512))
     L = int(os.environ.get("BENCH_LEN", 512))
     iters = int(os.environ.get("BENCH_ITERS", 4))
-    trials = int(os.environ.get("BENCH_TRIALS", 4))
+    trials = int(os.environ.get("BENCH_TRIALS", 6))
     backend = os.environ.get("BENCH_BACKEND", "auto")
     if backend == "auto":
         backend = "scan" if jax.default_backend() == "cpu" else "pallas"

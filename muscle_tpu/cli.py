@@ -93,7 +93,7 @@ def parse_args(argv: list[str]) -> tuple[str | None, str | None, dict]:
     opts: dict[str, object] = OptDict()
     flag_cmds = {
         "align", "super5", "super6", "super7", "uclustpd", "protdists",
-        "qscore", "disperse", "maxcc",
+        "qscore", "disperse", "maxcc", "testfb",
         "resample", "efa_explode", "fa2efa", "addconfseq", "letterconf",
         "efa_bestconf", "efa_bestcols", "colscore_efa", "qscore_efa",
         "trimtoref_efa", "eesort", "cmp_msa", "cmp_ref_msas", "upgma5",
@@ -171,6 +171,8 @@ def _dispatch(cmd: str, arg1: str, opts: dict) -> int:
 
     if cmd in ("align", "super5", "super6", "super7"):
         return _cmd_align(cmd, arg1, opts)
+    if cmd == "testfb":
+        return _cmd_testfb(arg1, opts)
     if cmd == "uclustpd":
         return _cmd_uclustpd(arg1, opts)
     if cmd == "protdists":
@@ -495,6 +497,42 @@ def _cmd_protdists(arg1: str, opts: dict) -> int:
     else:
         print(text, end="")
     return 0
+
+
+def _cmd_testfb(arg1: str, opts: dict) -> int:
+    """Forward/Backward sanity check (reference: -testfb,
+    src/testfb.cpp): for every consecutive sequence pair, the total
+    log-probability folded from the Forward final states must equal
+    the one folded from the Backward pass at the origin. Prints the
+    max deviation; exits non-zero above 1e-3."""
+    import numpy as np
+    from .alphabet import ALPHA_AMINO, ALPHA_NUCLEO, guess_is_nucleo
+    from .hmm.params import HMMParams
+    from .ops import pairhmm
+    from .utils.rng import MwcRng
+    from .utils import logging as mlog
+
+    seqs = MultiSequence.from_fasta(arg1)
+    nucleo = (bool(opts.get("nt")) or
+              (not opts.get("amino")
+               and guess_is_nucleo(seqs, MwcRng(1))))
+    alpha = ALPHA_NUCLEO if nucleo else ALPHA_AMINO
+    pack = HMMParams.from_defaults(nucleo=nucleo).to_scores()
+    from .pipeline.posteriors import encode_batch
+    codes, lens = encode_batch(seqs, alpha)
+    worst = 0.0
+    import jax.numpy as jnp
+    for i in range(len(seqs) - 1):
+        x = jnp.asarray(codes[i][:int(lens[i])])
+        y = jnp.asarray(codes[i + 1][:int(lens[i + 1])])
+        tf = float(pairhmm.total_prob_fwd(x, y, pack))
+        tb = float(pairhmm.total_prob_bwd(x, y, pack))
+        worst = max(worst, abs(tf - tb) / max(1.0, abs(tf)))
+        mlog.progress("testfb %s/%s: fwd %.6f bwd %.6f rel %.2e",
+                      seqs[i].label, seqs[i + 1].label, tf, tb,
+                      abs(tf - tb) / max(1.0, abs(tf)))
+    mlog.progress("testfb max relative |fwd-bwd| = %.3e", worst)
+    return 0 if worst < 1e-4 else 1
 
 
 def _cmd_qscore(arg1: str, opts: dict) -> int:

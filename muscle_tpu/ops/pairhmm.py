@@ -296,6 +296,37 @@ def _mea_score(post, lx, ly):
     return final[By]
 
 
+def total_prob_fwd(x, y, pack):
+    """Total log-prob from the Forward lattice's far corner (reference:
+    src/totalprobflat.cpp:3-16). x, y: UNPADDED int code arrays."""
+    match, insert, start, tv = score_args(pack)
+    lx, ly = x.shape[0], y.shape[0]
+    e = match[x][:, y]
+    F = _forward_scan(e, insert[x], insert[y], start, tv)
+    bstart = (start[0], start[1], start[1], start[3], start[3])
+    tot = jnp.full((), LOG_ZERO, jnp.float32)
+    for s in range(5):
+        tot = log_add(tot, F[s][lx, ly] + bstart[s])
+    return tot
+
+
+def total_prob_bwd(x, y, pack):
+    """Total log-prob from the Backward lattice (forward-style scan
+    over the reversed sequences, folded at ITS far corner) — an
+    independent path that must agree with total_prob_fwd (reference
+    dev command: -testfb, src/testfb.cpp)."""
+    match, insert, start, tv = score_args(pack)
+    lx, ly = x.shape[0], y.shape[0]
+    xr, yr = x[::-1], y[::-1]
+    e_rev = match[xr][:, yr]
+    RB = _backward_scan(e_rev, insert[xr], insert[yr], start, tv)
+    bstart = (start[0], start[1], start[1], start[3], start[3])
+    tot = jnp.full((), LOG_ZERO, jnp.float32)
+    for s in range(5):
+        tot = log_add(tot, RB[s][lx, ly] + bstart[s])
+    return tot
+
+
 def reverse_padded(arr, lens, axis_len):
     """Per-row reverse of right-padded data: out[k] = arr[len-1-k]."""
     return jax.vmap(lambda a, l: jnp.roll(jnp.flip(a, 0), l - axis_len,
