@@ -532,7 +532,7 @@ def _cmd_testfb(arg1: str, opts: dict) -> int:
                       seqs[i].label, seqs[i + 1].label, tf, tb,
                       abs(tf - tb) / max(1.0, abs(tf)))
     mlog.progress("testfb max relative |fwd-bwd| = %.3e", worst)
-    return 0 if worst < 1e-4 else 1
+    return 0 if worst < 1e-3 else 1
 
 
 def _cmd_qscore(arg1: str, opts: dict) -> int:
