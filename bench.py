@@ -49,6 +49,8 @@ BASELINE_CORES = 64
 REF_MPC200_WALL_S = float(os.environ.get("MUSCLE_TPU_REF_MPC200", 3514.0))
 # measured 2026-08-21: -align rdrp8.fa -stratified (16 replicates): 10.4s
 REF_ENS_STRAT_WALL_S = float(os.environ.get("MUSCLE_TPU_REF_ENS", 10.43))
+# measured 2026-08-21: -super5 rdrp512.fa: 9m43s
+REF_SUPER5_512_WALL_S = float(os.environ.get("MUSCLE_TPU_REF_S5", 583.0))
 
 
 def emit(metric, value, unit, vs_baseline):
@@ -107,8 +109,7 @@ def bench_pairhmm():
         best = max(best, 2 * B * L * L / dt)
 
     baseline = REF_CELLS_PER_SEC_PER_CORE * BASELINE_CORES
-    emit("pairhmm_cells_per_sec", round(best), "cells/s",
-         round(best / baseline, 3))
+    return round(best), round(best / baseline, 3)
 
 
 def _rdrp_subset(n):
@@ -139,6 +140,25 @@ def bench_mpc200():
          round(REF_MPC200_WALL_S / dt, 3))
 
 
+def bench_super5_512():
+    # Super5 on a 512-seq rdrp subset (BASELINE.json config). Known
+    # slower than the reference here (837 s vs 583 s measured): the
+    # PProg joins and per-cluster store fetches are serial round trips
+    # through the ~29 ms tunnel; see docs/SCAN_AB.md.
+    path = _rdrp_subset(512)
+    if path is None:
+        return
+    from muscle_tpu.pipeline.super5 import super5
+    from muscle_tpu.sequence import MultiSequence
+    seqs = MultiSequence.from_fasta(path)
+    t0 = time.perf_counter()
+    msa = super5(seqs)
+    dt = time.perf_counter() - t0
+    assert len(msa) == 512
+    emit("super5_512_wall_s", round(dt, 2), "s",
+         round(REF_SUPER5_512_WALL_S / dt, 3))
+
+
 def bench_ensemble_strat():
     # 16-replicate stratified ensemble on an 8-seq rdrp subset (the
     # reference binary aborts in PermTree on families >= 10 leaves, so
@@ -158,17 +178,26 @@ def bench_ensemble_strat():
 def main():
     from muscle_tpu.utils.jaxsetup import setup_jax
     setup_jax()
+    # primary metric is measured FIRST (fast, and protected against a
+    # harness timeout during the slow wall-clock configs) but its JSON
+    # line prints LAST — the driver parses the last line.
+    value, ratio = bench_pairhmm()
     full = os.environ.get("BENCH_FULL", "1") != "0"
+    budget = float(os.environ.get("BENCH_BUDGET_S", 2400))
+    t_start = time.perf_counter()
     if full:
-        try:
-            bench_mpc200()
-        except Exception as e:
-            print(f"# mpc200 failed: {e}", file=sys.stderr)
-        try:
-            bench_ensemble_strat()
-        except Exception as e:
-            print(f"# ensemble failed: {e}", file=sys.stderr)
-    bench_pairhmm()   # primary metric LAST (driver parses the last line)
+        for name, fn in (("mpc200", bench_mpc200),
+                         ("ensemble", bench_ensemble_strat),
+                         ("super5", bench_super5_512)):
+            if time.perf_counter() - t_start > budget:
+                print(f"# skipping {name}: bench budget exceeded",
+                      file=sys.stderr)
+                continue
+            try:
+                fn()
+            except Exception as e:
+                print(f"# {name} failed: {e}", file=sys.stderr)
+    emit("pairhmm_cells_per_sec", value, "cells/s", ratio)
 
 
 if __name__ == "__main__":
