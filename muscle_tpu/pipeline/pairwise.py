@@ -40,14 +40,23 @@ class PairAligner:
             backend=self.backend)
 
     def sparse_posteriors(self, pairs: list[tuple[int, int]]):
-        """Host-side fixed-K sparse posteriors: (vals (P, L, K),
-        cols (P, L, K), ea (P,)). The device->host transfer is ~L/(2K)x
-        smaller than the dense path."""
+        """Host-side fixed-K sparse posteriors: (vals (P, L, K'),
+        cols (P, L, K'), ea (P,)). The device->host transfer is ~L/(2K)x
+        smaller than the dense path; the fetch is further trimmed to
+        the occupied K-prefix (sparsify packs valid slots first) with
+        int16 cols — the tunneled host link runs ~21 MB/s, and PProg
+        joins fetch up to ~200 MB of store per join otherwise."""
+        import jax.numpy as jnp
         sv, sc, ea, max_nnz = post_mod.all_pairs_posteriors_sparse(
             self.codes, self.lens, self.pack, pairs,
             batch_size=self.batch_size, backend=self.backend)
         p = len(pairs)
-        return np.asarray(sv)[:p], np.asarray(sc)[:p], ea
+        k = sv.shape[2]
+        k2 = min(k, max(8, -(-int(min(max_nnz, k)) // 8) * 8))
+        vals = np.asarray(sv[:p, :, :k2])
+        cols = np.asarray(sc[:p, :, :k2].astype(jnp.int16)).astype(
+            np.int32)
+        return vals, cols, ea
 
     def ea(self, pairs: list[tuple[int, int]]) -> np.ndarray:
         """EA scores only — no posterior leaves the device."""

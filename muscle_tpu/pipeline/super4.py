@@ -98,26 +98,29 @@ class Super4:
 
         # per-cluster MSAs (MPC; singletons pass through)
         cluster_msas: list[MultiSequence] = []
-        for ci, cl in enumerate(clusters):
-            sub = MultiSequence([seqs[i] for i in cl])
-            if len(cl) == 1:
-                cluster_msas.append(sub)
-            else:
-                mlog.log("Super4: cluster %d/%d (%d seqs)", ci + 1,
-                         len(clusters), len(cl))
-                mpc = self.mpc_factory()
-                cluster_msas.append(mpc.run(sub, hp, self.alpha))
+        with mlog.stage("cluster_mpcs"):
+            for ci, cl in enumerate(clusters):
+                sub = MultiSequence([seqs[i] for i in cl])
+                if len(cl) == 1:
+                    cluster_msas.append(sub)
+                else:
+                    mlog.log("Super4: cluster %d/%d (%d seqs)", ci + 1,
+                             len(clusters), len(cl))
+                    mpc = self.mpc_factory()
+                    cluster_msas.append(mpc.run(sub, hp, self.alpha))
 
         if len(cluster_msas) == 1:
             return cluster_msas[0]
 
         # consensus sequences -> EA distmx -> coarse guide tree
         labels = [f"Cluster{i}" for i in range(len(cluster_msas))]
-        cons = MultiSequence([
-            Sequence(labels[i], consensus_sequence(m, self.alpha) or "A")
-            for i, m in enumerate(cluster_msas)])
-        cons_aligner = PairAligner(cons, self.pack, self.alpha)
-        dist = cons_aligner.ea_dist_matrix()
+        with mlog.stage("consensus+distmx"):
+            cons = MultiSequence([
+                Sequence(labels[i],
+                         consensus_sequence(m, self.alpha) or "A")
+                for i, m in enumerate(cluster_msas)])
+            cons_aligner = PairAligner(cons, self.pack, self.alpha)
+            dist = cons_aligner.ea_dist_matrix()
         tree = upgma5(labels, fix_ea_distmx(dist), LINKAGE_BIASED)
         if tree_perm and tree_perm != "none":
             from ..tree.permute import perm_tree
@@ -128,4 +131,5 @@ class Super4:
         pp = PProg(aligner, l2g, self.target_pair_count)
         idx1, idx2 = guide_tree_join_order(
             tree, {lb: i for i, lb in enumerate(labels)})
-        return pp.run_guide_tree(cluster_msas, idx1, idx2)
+        with mlog.stage("pprog"):
+            return pp.run_guide_tree(cluster_msas, idx1, idx2)
