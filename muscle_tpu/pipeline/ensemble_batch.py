@@ -107,8 +107,12 @@ def run_replicates_batched(seqs: MultiSequence, reps, load_hp, alpha: str,
                                             max_nnz=min(int(max_nnz), 32))
             posts = PairPosteriors()
             import jax.numpy as jnp
-            vals_np = np.asarray(sv)
-            cols_np = np.asarray(sc.astype(jnp.int16)).astype(np.int32)
+            k_full = sv.shape[2]
+            k2 = min(k_full,
+                     max(8, -(-int(min(max_nnz, k_full)) // 8) * 8))
+            vals_np = np.asarray(sv[:, :, :k2])
+            cols_np = np.asarray(
+                sc[:, :, :k2].astype(jnp.int16)).astype(np.int32)
             for i, (x, y) in enumerate(pairs):
                 posts.set_sparse(x, y, vals_np[i, :lens[x]],
                                  cols_np[i, :lens[x]], int(lens[y]))
