@@ -902,7 +902,7 @@ def _round_up(x, m):
 
 
 def _fwd_pallas(e_t, insx_t, insy, lymask, lxf, params, tile_p,
-                impl="hillis"):
+                impl="hillis", interpret=False):
     """e_t: (Lx, B, Ly) emission lattice; insx_t: (Lx, B, 1) per-row x
     insert scores; lxf: (B, 128) float lx broadcast. Returns
     ((Lx, B, Ly) M lattice, (B, 128) final states at (lx, ly))."""
@@ -938,6 +938,7 @@ def _fwd_pallas(e_t, insx_t, insy, lymask, lxf, params, tile_p,
         scratch_shapes=[pltpu.VMEM((tile_p, ly), jnp.float32)] * 5
         + [pltpu.VMEM((tile_p, 128), jnp.float32)]
         + [pltpu.VMEM((tile_p, ly), jnp.float32)] * 5,
+        interpret=interpret,
     )(params, e_t, insx_t, insy, lymask, lxf)
     return m_lat, sly
 
@@ -1121,30 +1122,17 @@ def batch_posteriors_pallas_emissions(e, e_rev, ins_x, ins_y, ins_xr,
     params = _params_rows(start, tv, b)
 
     impl = scan_impl or SCAN_IMPL
-    fm_t, f_end5 = _fwd_pallas(e.transpose(1, 0, 2),
-                               ins_x.T[:, :, None], ins_y, lymask, lxf,
-                               params, tile_p, impl)
     if FUSED:
+        # plain flips inside — e_rev (per-pair roll-flip) is NOT used
         bstart_b = jnp.broadcast_to(
             jnp.stack([start[0], start[1], start[1], start[3],
                        start[3]]), (b, 5))
-        tot = _total_prob(f_end5[:, :5], bstart_b)
-        params_tot = params.at[:, P_TOT].set(tot)
-        lane128 = jnp.arange(128)[None, :]
-        lens2 = jnp.where(
-            lane128 == 0, lxb.astype(jnp.float32)[:, None],
-            jnp.where(lane128 == 1, lyb.astype(jnp.float32)[:, None],
-                      0.0))
-        # plain flips — e_rev (per-pair roll-flip) is NOT used here
-        e_flip_t = e[:, ::-1, ::-1].transpose(1, 0, 2)
-        post_t, mea128 = _bwd_post_pallas_emissions(
-            e_flip_t, ins_x[:, ::-1].T[:, :, None], ins_y[:, ::-1],
-            fm_t, lens2, params_tot, tile_p, impl, with_mea=with_mea)
-        if with_mea:
-            ea = mea128[:, 0] / jnp.minimum(lxb, lyb).astype(jnp.float32)
-        else:
-            ea = jnp.zeros((b,), jnp.float32)
-        return post_t.transpose(1, 0, 2), ea
+        return _emissions_path_fused(e, ins_x, ins_y, lxb, lyb, params,
+                                     bstart_b, tile_p, impl, with_mea,
+                                     False)
+    fm_t, f_end5 = _fwd_pallas(e.transpose(1, 0, 2),
+                               ins_x.T[:, :, None], ins_y, lymask, lxf,
+                               params, tile_p, impl)
     rbm_t = _bwd_pallas(e_rev.transpose(1, 0, 2),
                         ins_xr.T[:, :, None], ins_yr,
                         params, tile_p, impl)
@@ -1197,13 +1185,62 @@ def _finish_posteriors(fm_t, rbm_t, f_end5, lxb, lyb, start, with_mea,
 # lattice, no per-pair roll. Opt-out: MUSCLE_TPU_FUSED=0.
 FUSED = _os.environ.get("MUSCLE_TPU_FUSED", "1") != "0"
 
+# Letter emissions are PRECOMPUTED as a (B, Lx, Ly) lattice (two
+# one-hot MXU matmuls) and streamed into the kernels whenever the four
+# live lattices (e, e_flip, fm, post) fit this HBM budget: on-chip A/B
+# measured 4.22 vs 3.45 Gcells/s at B=512/L=512 — the 21 in-kernel
+# VPU emission passes per row cost more than the HBM round trip. The
+# in-kernel build remains for larger-than-budget shapes (long pairs).
+# Opt-out: MUSCLE_TPU_ELATTICE=0.
+_ELATTICE_BUDGET = 6 << 30
+ELATTICE = _os.environ.get("MUSCLE_TPU_ELATTICE", "1") != "0"
+
+
+def _emissions_path_fused(e, ins_x, ins_y, lxb, lyb, params, bstart_b,
+                          tile_p, impl, with_mea, interpret):
+    """Fused posterior path from a precomputed (B, Lx, Ly) emission
+    lattice (shared by the letter and Muscle-3D profile HMMs)."""
+    b, bx, by = e.shape
+    jj = jnp.arange(by)
+    lymask = (jj[None, :] == (lyb[:, None] - 1)).astype(jnp.float32)
+    lxf = jnp.broadcast_to(lxb.astype(jnp.float32)[:, None], (b, 128))
+    fm_t, f_end5 = _fwd_pallas(e.transpose(1, 0, 2),
+                               ins_x.T[:, :, None], ins_y, lymask, lxf,
+                               params, tile_p, impl, interpret=interpret)
+    tot = _total_prob(f_end5[:, :5], bstart_b)
+    params_tot = params.at[:, P_TOT].set(tot)
+    lane128 = jnp.arange(128)[None, :]
+    lens2 = jnp.where(
+        lane128 == 0, lxb.astype(jnp.float32)[:, None],
+        jnp.where(lane128 == 1, lyb.astype(jnp.float32)[:, None], 0.0))
+    e_flip_t = e[:, ::-1, ::-1].transpose(1, 0, 2)
+    post_t, mea128 = _bwd_post_pallas_emissions(
+        e_flip_t, ins_x[:, ::-1].T[:, :, None], ins_y[:, ::-1],
+        fm_t, lens2, params_tot, tile_p, impl, with_mea=with_mea,
+        interpret=interpret)
+    if with_mea:
+        ea = mea128[:, 0] / jnp.minimum(lxb, lyb).astype(jnp.float32)
+    else:
+        ea = jnp.zeros((b,), jnp.float32)
+    return post_t.transpose(1, 0, 2), ea
+
 
 def _letter_path(xb, yb, lxb, lyb, kk, kp, xmt, oyt, ins, params,
-                 bstart_b, tile_p, impl, with_mea, fused, interpret):
+                 bstart_b, tile_p, impl, with_mea, fused, interpret,
+                 ematrix=None):
     """Shared device path for the letter pair-HMM (single-table and
-    per-pair-table variants parameterize xmt/oyt/ins)."""
+    per-pair-table variants parameterize xmt/oyt/ins; ematrix, when
+    given, builds the (B, Lx, Ly) emission lattice for the streamed
+    path)."""
     b, bx = xb.shape
     by = yb.shape[1]
+
+    if (fused and ematrix is not None and ELATTICE
+            and 4 * 4 * b * bx * by <= _ELATTICE_BUDGET):
+        return _emissions_path_fused(
+            ematrix(xb, yb), ins(xb), ins(yb), lxb, lyb, params,
+            bstart_b, _pick_tile_p(b, by), impl, with_mea, interpret)
+
     jj = jnp.arange(by)
     lymask = (jj[None, :] == (lyb[:, None] - 1)).astype(jnp.float32)
     lxf = jnp.broadcast_to(lxb.astype(jnp.float32)[:, None], (b, 128))
@@ -1288,7 +1325,9 @@ def batch_posteriors_pallas(xb, yb, lxb, lyb, match, insert, start, tv,
         fused = FUSED
     return _letter_path(xb, yb, lxb, lyb, kk, kp, xmt, oyt,
                         lambda c: insert[c], params, bstart_b, tile_p,
-                        impl, with_mea, fused, interpret)
+                        impl, with_mea, fused, interpret,
+                        ematrix=lambda cx, cy: emission_matrix(
+                            cx, cy, match))
 
 
 @partial(jax.jit,
@@ -1335,9 +1374,19 @@ def batch_posteriors_pallas_multi(xb, yb, lxb, lyb, match_b, insert_b,
     impl = scan_impl or SCAN_IMPL
     if fused is None:
         fused = FUSED
+
+    def ematrix(cx, cy):
+        # per-pair tables: one-hot x @ match_b @ one-hot y
+        ox = jax.nn.one_hot(cx, kk, dtype=jnp.float32)
+        xm = jnp.einsum("blk,bkm->blm", ox, match_b,
+                        precision=jax.lax.Precision.HIGHEST)
+        oy = jax.nn.one_hot(cy, kk, dtype=jnp.float32)
+        return jnp.einsum("blm,bjm->blj", xm, oy,
+                          precision=jax.lax.Precision.HIGHEST)
+
     return _letter_path(xb, yb, lxb, lyb, kk, kp, xmt, oyt, ins,
                         params, bstart_b, tile_p, impl, with_mea,
-                        fused, interpret)
+                        fused, interpret, ematrix=ematrix)
 
 
 def _finish_posteriors_b(fm_t, rbm_t, f_end5, lxb, lyb, bstart_b,
