@@ -562,7 +562,7 @@ def _flip_lanes(x):
     return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
 
 
-def _bwd_post_kernel(n_rows, kk, impl, with_mea, params, *refs):
+def _bwd_post_kernel(n_rows, kk, impl, with_mea, flip_e, params, *refs):
     """Backward recurrence + posterior combine in ONE pass.
 
     Consumes PLAIN-FLIPPED padded sequences (x_flip[p] = x_pad[Bx-1-p],
@@ -663,6 +663,11 @@ def _bwd_post_kernel(n_rows, kk, impl, with_mea, params, *refs):
 
         if kk is None:
             e_row = e_ref[0, :, :]
+            if flip_e:
+                # streamed from the FORWARD emission lattice (row map
+                # lx-u); lane-flip here instead of materializing a
+                # flipped copy in HBM
+                e_row = _flip_lanes(e_row)
         else:
             e_row = _emission_row(xm_ref, oy_ref, kk)
         e_row = jnp.where(padmask, LOG_ZERO, e_row)
@@ -765,7 +770,7 @@ def _bwd_post_pallas(xm_flip_t, oy_flip, insx_flip_t, insy_flip, fm_t,
         out_shape.append(jax.ShapeDtypeStruct((b, 128), jnp.float32))
         scratch.append(pltpu.VMEM((tile_p, ly), jnp.float32))
     res = pl.pallas_call(
-        partial(_bwd_post_kernel, lx, kk, impl, with_mea),
+        partial(_bwd_post_kernel, lx, kk, impl, with_mea, False),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_p, 16), lambda t, i: (t, 0),
@@ -796,15 +801,18 @@ def _bwd_post_pallas(xm_flip_t, oy_flip, insx_flip_t, insy_flip, fm_t,
     return res if with_mea else (res, None)
 
 
-def _bwd_post_pallas_emissions(e_flip_t, insx_flip_t, insy_flip, fm_t,
+def _bwd_post_pallas_emissions(e_t, insx_t, insy_flip, fm_t,
                                lens2, params_tot, tile_p,
                                impl="hillis", with_mea=True,
                                interpret=False):
     """Fused backward+posterior from a precomputed emission lattice
-    (Muscle-3D profile path): e_flip_t (Lx, B, Ly) is the PLAIN-FLIPPED
-    emission lattice e[:, ::-1, ::-1] transposed to row-major — no
-    per-pair roll. Other args as _bwd_post_pallas."""
-    lx, b, ly = e_flip_t.shape
+    (letter and Muscle-3D profile paths): e_t (Lx, B, Ly) and insx_t
+    (Lx, B, 1) are the SAME forward-layout arrays the forward kernel
+    consumed — the backward streams them through flipped row maps and
+    lane-flips in-kernel, so no flipped lattice copy ever exists in
+    HBM. insy_flip (B, Ly) is the lane-flipped y insert row (small).
+    Other args as _bwd_post_pallas."""
+    lx, b, ly = e_t.shape
     grid = (b // tile_p, lx)
     out_specs = [pl.BlockSpec((1, tile_p, ly),
                               lambda t, i: (lx - 1 - i, t, 0),
@@ -818,16 +826,20 @@ def _bwd_post_pallas_emissions(e_flip_t, insx_flip_t, insy_flip, fm_t,
         out_shape.append(jax.ShapeDtypeStruct((b, 128), jnp.float32))
         scratch.append(pltpu.VMEM((tile_p, ly), jnp.float32))
     res = pl.pallas_call(
-        partial(_bwd_post_kernel, lx, None, impl, with_mea),
+        partial(_bwd_post_kernel, lx, None, impl, with_mea, True),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_p, 16), lambda t, i: (t, 0),
                          memory_space=pltpu.VMEM),
+            # forward e row lx-u (step u consumes x char Bx-u); the
+            # u=0 boundary step reads a clamped dummy row
             pl.BlockSpec((1, tile_p, ly),
-                         lambda t, i: (jnp.maximum(i - 1, 0), t, 0),
+                         lambda t, i: (jnp.minimum(lx - i, lx - 1),
+                                       t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_p, 1),
-                         lambda t, i: (jnp.maximum(i - 1, 0), t, 0),
+                         lambda t, i: (jnp.minimum(lx - i, lx - 1),
+                                       t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_p, ly), lambda t, i: (t, 0),
                          memory_space=pltpu.VMEM),
@@ -841,7 +853,7 @@ def _bwd_post_pallas_emissions(e_flip_t, insx_flip_t, insy_flip, fm_t,
         out_shape=out_shape if with_mea else out_shape[0],
         scratch_shapes=scratch,
         interpret=interpret,
-    )(params_tot, e_flip_t, insx_flip_t, insy_flip, fm_t, lens2)
+    )(params_tot, e_t, insx_t, insy_flip, fm_t, lens2)
     return res if with_mea else (res, None)
 
 
@@ -1213,9 +1225,8 @@ def _emissions_path_fused(e, ins_x, ins_y, lxb, lyb, params, bstart_b,
     lens2 = jnp.where(
         lane128 == 0, lxb.astype(jnp.float32)[:, None],
         jnp.where(lane128 == 1, lyb.astype(jnp.float32)[:, None], 0.0))
-    e_flip_t = e[:, ::-1, ::-1].transpose(1, 0, 2)
     post_t, mea128 = _bwd_post_pallas_emissions(
-        e_flip_t, ins_x[:, ::-1].T[:, :, None], ins_y[:, ::-1],
+        e.transpose(1, 0, 2), ins_x.T[:, :, None], ins_y[:, ::-1],
         fm_t, lens2, params_tot, tile_p, impl, with_mea=with_mea,
         interpret=interpret)
     if with_mea:
