@@ -1134,7 +1134,11 @@ def batch_posteriors_pallas_emissions(e, e_rev, ins_x, ins_y, ins_xr,
     params = _params_rows(start, tv, b)
 
     impl = scan_impl or SCAN_IMPL
-    if FUSED:
+    # the fused bwd+posterior kernel's VMEM scratch scales with the lane
+    # (Ly) axis and overflows Mosaic's scoped-vmem limit past ~9.9k even
+    # at tile_p=8; larger profile/mega emissions fall back to the legacy
+    # two-lattice kernels, which tile Ly and have no lane cap
+    if FUSED and by <= FUSED_MAX_LY:
         # plain flips inside — e_rev (per-pair roll-flip) is NOT used
         bstart_b = jnp.broadcast_to(
             jnp.stack([start[0], start[1], start[1], start[3],
@@ -1196,6 +1200,14 @@ def _finish_posteriors(fm_t, rbm_t, f_end5, lxb, lyb, start, with_mea,
 # the forward lattice and writes posterior rows directly — no RB
 # lattice, no per-pair roll. Opt-out: MUSCLE_TPU_FUSED=0.
 FUSED = _os.environ.get("MUSCLE_TPU_FUSED", "1") != "0"
+
+# measured lane-axis (Ly) cap of the fused kernels at the minimum tile
+# (scoped VMEM grows linearly in Ly: 19.85M at Ly=12288 vs the 16M
+# Mosaic limit; last passing rung 9856). The long-pair router
+# (pipeline/posteriors.py) and the emissions entry point both respect
+# it; beyond the cap the legacy two-lattice kernels or the
+# checkpoint-scan path take over.
+FUSED_MAX_LY = 9856
 
 # Letter emissions are PRECOMPUTED as a (B, Lx, Ly) lattice (two
 # one-hot MXU matmuls) and streamed into the kernels whenever the four

@@ -188,8 +188,11 @@ class MPC:
         k2 = min(k_full,
                  max(8, -(-int(min(max_nnz, k_full)) // 8) * 8))
         vals_np = np.asarray(store_v[:, :, :k2])
+        # int16 halves the fetch but wraps at 2^15 columns; the long-
+        # pair checkpoint path advertises no length cap, so guard it
+        ctype = jnp.int16 if pad_to < (1 << 15) else jnp.int32
         cols_np = np.asarray(
-            store_c[:, :, :k2].astype(jnp.int16)).astype(np.int32)
+            store_c[:, :, :k2].astype(ctype)).astype(np.int32)
         del store_v, store_c
         for i, (x, y) in enumerate(pairs):
             posts.set_sparse(x, y, vals_np[i, :lens[x]],

@@ -54,7 +54,10 @@ class PairAligner:
         k = sv.shape[2]
         k2 = min(k, max(8, -(-int(min(max_nnz, k)) // 8) * 8))
         vals = np.asarray(sv[:p, :, :k2])
-        cols = np.asarray(sc[:p, :, :k2].astype(jnp.int16)).astype(
+        # guard the int16 wire format against column indices >= 2^15
+        # (pairs longer than 32767 go through the no-cap long path)
+        ctype = jnp.int16 if self.codes.shape[1] < (1 << 15) else jnp.int32
+        cols = np.asarray(sc[:p, :, :k2].astype(ctype)).astype(
             np.int32)
         return vals, cols, ea
 

@@ -149,12 +149,7 @@ def all_pairs_posteriors(codes: np.ndarray, lens: np.ndarray,
 
 
 def _pick_chunk(batch_size, n_pairs, backend, n_dev):
-    b = min(batch_size, n_pairs)
-    if backend == "pallas":
-        b = round_up(b, 8)       # tile_p granularity
-    if n_dev > 1:
-        b = round_up(b, n_dev)   # even shards across the mesh
-    return b
+    return round_up(min(batch_size, n_pairs), _chunk_step(backend, n_dev))
 
 
 # Length-bucket ladder (SURVEY Phase 2): pairs are grouped by
@@ -191,15 +186,26 @@ def _bucketize(pairs, lens, cap: int, min_saving: float = 0.25):
     return sorted(buckets.items())
 
 
-def _clamp_chunk_by_len(b: int, lb: int) -> int:
+def _chunk_step(backend: str, n_dev: int) -> int:
+    """Granularity every chunk size must honor: tile_p sublanes (8) on
+    the Pallas path AND an even split across the mesh (lcm, so the
+    HBM clamp below cannot break mesh divisibility — ADVICE r3)."""
+    step = 8 if backend == "pallas" else 1
+    if n_dev > 1:
+        step = step * n_dev // np.gcd(step, n_dev)
+    return step
+
+
+def _clamp_chunk_by_len(b: int, lb: int, step: int = 8) -> int:
     """Cap the pair chunk so the fwd+bwd (Lx, B, Ly) lattices plus the
-    posterior stay within ~8 GB of HBM at bucket length lb."""
-    cap = max(8, int((8 << 30) // max(1, 12 * lb * lb)))
-    return max(8, min(b, cap // 8 * 8))
+    posterior stay within ~8 GB of HBM at bucket length lb; the result
+    stays a multiple of `step` (tile/mesh granularity)."""
+    cap = max(step, int((8 << 30) // max(1, 12 * lb * lb)))
+    return max(step, min(b, cap // step * step))
 
 
 def _sparse_store_loop(make_fn, chunk_args_fn, pairs, lens, b, k,
-                       l_full, bucket=True):
+                       l_full, bucket=True, step=8):
     """Shared device loop: run batches (length-bucketed), sparsify on
     device, scatter into a device-resident (P+1, L, K) store whose last
     row is the all-zero dump slot. Returns
@@ -238,7 +244,7 @@ def _sparse_store_loop(make_fn, chunk_args_fn, pairs, lens, b, k,
         buckets = [(l_full, list(range(n_pairs)))]
     for lb, idxs in buckets:
         fn = make_fn(lb)
-        b = _clamp_chunk_by_len(b, lb)
+        b = _clamp_chunk_by_len(b, lb, step)
         for lo in range(0, len(idxs), b):
             ch = idxs[lo:lo + b]
             full = ch + [ch[0]] * (b - len(ch))
@@ -285,7 +291,8 @@ def all_pairs_posteriors_sparse(codes: np.ndarray, lens: np.ndarray,
         return cj[xi, :lb], cj[yi, :lb], lj[xi], lj[yi]
 
     return _sparse_store_loop(make_fn, chunk_args, pairs, lens, b, k,
-                              codes.shape[1], bucket=bucket)
+                              codes.shape[1], bucket=bucket,
+                              step=_chunk_step(backend, n_dev))
 
 
 # beyond this padded length the batched kernels' (Lx, B, Ly) lattices
@@ -295,11 +302,11 @@ LONG_PAIR_THRESHOLD = 8192
 
 
 # Pallas long-path limits: VMEM scratch at the minimum tile (sublane
-# 8) caps the LANE axis at ~9.9k (measured: 19.85M scoped vmem at
-# Ly=12288 vs the 16M limit, linear in Ly), and the (Lx, 8, Ly) f32
-# fwd-M + posterior lattices cap total cells in HBM. Beyond either the
+# 8) caps the LANE axis at ~9.9k (single source of truth:
+# ops.pairhmm_pallas.FUSED_MAX_LY), and the (Lx, 8, Ly) f32 fwd-M +
+# posterior lattices cap total cells in HBM. Beyond either the
 # O(sqrt) checkpoint/recompute scan path takes over (no length cap).
-_LONG_PALLAS_MAX_LY = 9856
+_LONG_PALLAS_MAX_LY = 9856  # == ops.pairhmm_pallas.FUSED_MAX_LY (asserted in tests)
 _LONG_PALLAS_CELL_BUDGET = 160 * 1024 * 1024
 
 
@@ -501,7 +508,7 @@ def ensemble_pairs_posteriors_sparse(codes: np.ndarray, lens: np.ndarray,
     b0 = _pick_chunk(batch_size, r_count * n_pairs, backend, n_dev)
     for lb, idxs in buckets:
         entries = [(r, pi) for r in range(r_count) for pi in idxs]
-        b = _clamp_chunk_by_len(b0, lb)
+        b = _clamp_chunk_by_len(b0, lb, _chunk_step(backend, n_dev))
         for lo in range(0, len(entries), b):
             ch = entries[lo:lo + b]
             full = ch + [ch[0]] * (b - len(ch))

@@ -73,6 +73,36 @@ def test_fused_amino_ragged():
     _case(b=8, lmax=96, seed=0)
 
 
+def test_fused_inkernel_emissions():
+    """The flip_e=False in-kernel-emission fused backward
+    (_bwd_post_pallas) is a production path — taken whenever the
+    (B, Lx, Ly) emission lattice exceeds the ELATTICE HBM budget
+    (B=512/L=1024 batches; all long pairs) — but the small shapes of
+    the tests above always fit the budget and exercise only
+    _bwd_post_pallas_emissions. Force the in-kernel variant by
+    disabling ELATTICE (ADVICE r3)."""
+    import jax
+    from muscle_tpu.ops import pairhmm_pallas as pp
+    old = pp.ELATTICE
+    pp.ELATTICE = False
+    # ELATTICE is read at trace time and is NOT part of the jit cache
+    # key — drop cached traces so the flag actually takes effect
+    jax.clear_caches()
+    try:
+        _case(b=8, lmax=96, seed=3)
+        _case(b=8, lmax=70, seed=4, nucleo=True)
+    finally:
+        pp.ELATTICE = old
+        jax.clear_caches()
+
+
+def test_fused_max_ly_single_source():
+    """posteriors.py's long-pair router mirrors the kernel lane cap."""
+    from muscle_tpu.ops import pairhmm_pallas as pp
+    from muscle_tpu.pipeline import posteriors as post_mod
+    assert post_mod._LONG_PALLAS_MAX_LY == pp.FUSED_MAX_LY
+
+
 def test_fused_nucleo_ragged():
     _case(b=8, lmax=70, seed=1, nucleo=True)
 

@@ -80,6 +80,7 @@ def run_case(name, nletters, b, lmax, seed, nucleo=False):
 
 
 def main():
+    import jax
     ok = True
     ok &= run_case("amino ragged", 20, 16, 200, 0)
     ok &= run_case("amino uniform", 20, 8, 128, 1)
@@ -87,6 +88,14 @@ def main():
     ok &= run_case("amino long", 20, 8, 500, 3)
     # exercises the VMEM-aware tile_p selection (tile 8 at L=2048)
     ok &= run_case("amino verylong", 20, 8, 2000, 4)
+    # in-kernel-emission fused backward (_bwd_post_pallas): production
+    # path whenever the emission lattice exceeds the ELATTICE budget
+    # (large batches, all long pairs) — validate it on-chip too
+    pp.ELATTICE = False
+    jax.clear_caches()   # flag is read at trace time, not in jit key
+    ok &= run_case("amino ragged (in-kernel emissions)", 20, 16, 200, 5)
+    ok &= run_case("amino long (in-kernel emissions)", 20, 8, 500, 6)
+    pp.ELATTICE = True
     sys.exit(0 if ok else 1)
 
 
