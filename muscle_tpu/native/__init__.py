@@ -64,6 +64,13 @@ def get_lib():
         ctypes.c_int64, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
         ctypes.c_int]
+    lib.build_post_accumulate_csr.restype = None
+    lib.build_post_accumulate_csr.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
+        ctypes.c_int]
     lib.mea_score.restype = ctypes.c_float
     lib.mea_score.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
@@ -93,6 +100,31 @@ def mea_align_native(post: np.ndarray):
     if n < 0:
         return None
     return float(score.value), path_buf.raw[:n].decode()
+
+
+def build_post_accumulate_csr_native(out: np.ndarray, vals: np.ndarray,
+                                     cols: np.ndarray, rowptr: np.ndarray,
+                                     ptc1: np.ndarray, ptc2: np.ndarray,
+                                     transposed: bool) -> bool:
+    """CSR accumulation (pack_store wire format); False if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    assert out.dtype == np.float32 and out.flags.c_contiguous
+    vals = np.ascontiguousarray(vals, dtype=np.float32)
+    cols = np.ascontiguousarray(cols, dtype=np.int32)
+    rowptr = np.ascontiguousarray(rowptr, dtype=np.int64)
+    ptc1 = np.ascontiguousarray(ptc1, dtype=np.uint32)
+    ptc2 = np.ascontiguousarray(ptc2, dtype=np.uint32)
+    lib.build_post_accumulate_csr(
+        _fptr(out), out.shape[1], _fptr(vals),
+        cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        rowptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(rowptr) - 1,
+        ptc1.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ptc2.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        1 if transposed else 0)
+    return True
 
 
 def build_post_accumulate_sparse_native(out: np.ndarray, vals: np.ndarray,

@@ -145,6 +145,37 @@ void build_post_accumulate_sparse(float* out, int64_t cc2,
         }
     }
 
+// CSR variant of the column-posterior accumulation: vals/cols hold the
+// packed valid entries of all rows back-to-back, rowptr[i]..rowptr[i+1]
+// delimiting row i (the wire format of the device store fetch —
+// ops/sparse.pack_store; reference walks its CSR MySparseMx the same
+// way, src/buildpostflat.cpp:18-106).
+void build_post_accumulate_csr(float* out, int64_t cc2,
+                               const float* vals, const int32_t* cols,
+                               const int64_t* rowptr, int64_t lx,
+                               const uint32_t* ptc1,
+                               const uint32_t* ptc2, int transposed)
+    {
+    if (!transposed)
+        {
+        for (int64_t i = 0; i < lx; ++i)
+            {
+            float* orow = out + (int64_t)ptc1[i] * cc2;
+            for (int64_t m = rowptr[i]; m < rowptr[i + 1]; ++m)
+                orow[ptc2[cols[m]]] += vals[m];
+            }
+        }
+    else
+        {
+        for (int64_t i = 0; i < lx; ++i)
+            {
+            uint32_t o2 = ptc2[i];
+            for (int64_t m = rowptr[i]; m < rowptr[i + 1]; ++m)
+                out[(int64_t)ptc1[cols[m]] * cc2 + o2] += vals[m];
+            }
+        }
+    }
+
 // Score-only MEA DP (reference: src/calcalnscoreflat.cpp).
 float mea_score(const float* post, int64_t lx, int64_t ly, float* rows)
     {

@@ -384,8 +384,9 @@ def consistency_sparse(vals, cols, n: int, iters: int, *,
                                 use_pallas=use_pallas)
     else:
         from jax.sharding import NamedSharding, PartitionSpec as P
-        axis = mesh.axis_names[0]
-        blk_sh = NamedSharding(mesh, P(axis))
+        # shard the wave's block axis over EVERY mesh axis (1-D 'dp' or
+        # 2-D (dcn, ici) — blocks are pure data parallel either way)
+        blk_sh = NamedSharding(mesh, P(tuple(mesh.axis_names)))
         rep = NamedSharding(mesh, P())
         base = _blocks_wave.__wrapped__
 

@@ -89,6 +89,56 @@ def sparsify_np(post: np.ndarray, k: int = DEFAULT_K):
 
 
 # ---------------------------------------------------------------------------
+# Packed (CSR) device->host fetch of the sparse store
+# ---------------------------------------------------------------------------
+#
+# The fixed-K store is the right DEVICE layout (static shapes for XLA),
+# but fetching it wholesale moves K slots per row over the host link
+# even though real posterior rows average ~5-6 entries. These helpers
+# compact the store to just its valid slots on device, so the transfer
+# shrinks to the true nnz (measured ~4-6x on MPC-scale families; the
+# tunneled link runs ~21 MB/s, making this the difference between a
+# ~90 s and a ~20 s fetch on a 200-seq family).
+
+
+@jax.jit
+def store_nnz(cols: jnp.ndarray):
+    """Per-row valid-slot counts (any leading shape) + grand total."""
+    m = (cols >= 0).astype(jnp.int32)
+    nnz = m.sum(axis=-1)
+    return nnz, nnz.sum()
+
+
+@partial(jax.jit, static_argnames=("cap", "col_dtype"))
+def pack_store(vals: jnp.ndarray, cols: jnp.ndarray, cap: int,
+               col_dtype=jnp.int16):
+    """Compact valid slots of a (..., K) store into flat (cap,) arrays.
+
+    Valid slots appear in row-major order (rows keep their internal
+    packed-first order), which is exactly the CSR value stream when
+    paired with the `store_nnz` counts. Slots beyond the true total are
+    zero-filled padding. `cap` is static — callers bucket it (see
+    pack_cap) to bound compile count.
+    """
+    mask = (cols >= 0).ravel()
+    pos, = jnp.nonzero(mask, size=cap, fill_value=0)
+    fill = jnp.arange(cap) < mask.sum()
+    flat_v = jnp.where(fill, vals.ravel()[pos], 0.0)
+    flat_c = jnp.where(fill, cols.ravel()[pos], 0).astype(col_dtype)
+    return flat_v, flat_c
+
+
+def pack_cap(total: int) -> int:
+    """Static-size bucket for pack_store (1/4-step geometric rungs keep
+    waste <= 25% and the compile cache tiny)."""
+    cap = 1 << 20
+    while cap < total:
+        cap += cap // 4
+        cap = -(-cap // (1 << 16)) * (1 << 16)
+    return cap
+
+
+# ---------------------------------------------------------------------------
 # Pallas densify: fixed-K sparse rows -> dense matrix, VMEM-resident
 # ---------------------------------------------------------------------------
 #

@@ -31,6 +31,15 @@ def make_mesh(devices=None, axis: str = "dp") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def batch_spec(mesh: Mesh) -> P:
+    """PartitionSpec sharding a leading batch axis over EVERY mesh axis
+    (works for both the 1-D 'dp' mesh and the 2-D (dcn, ici) mesh: the
+    batch is pure data parallel, so hosts and chips are one flat
+    parallel axis; XLA still decomposes any collective hierarchically
+    — ICI within a host, DCN across)."""
+    return P(tuple(mesh.axis_names))
+
+
 def init_distributed(coordinator: str | None = None,
                      num_processes: int | None = None,
                      process_id: int | None = None) -> None:
@@ -66,14 +75,33 @@ def make_mesh_2d(devices=None) -> Mesh:
     return Mesh(grid, ("dcn", "ici"))
 
 
+def global_array(mesh: Mesh, np_value, spec=None):
+    """Build a global jax.Array from a host value every process holds in
+    full (the normal state here: inputs are replicated host-side).
+    Shards are sliced locally — no cross-host transfer. Required on a
+    multi-process (DCN) mesh, where jit refuses raw numpy inputs with
+    non-trivial shardings; on a single process it degenerates to a
+    plain device put with that sharding."""
+    spec = spec if spec is not None else batch_spec(mesh)
+    sh = NamedSharding(mesh, spec)
+    np_value = np.asarray(np_value)
+    return jax.make_array_from_callback(np_value.shape, sh,
+                                        lambda idx: np_value[idx])
+
+
 def sharded_batch_posteriors(mesh: Mesh, pack, with_mea: bool = True,
-                             backend: str = "scan"):
+                             backend: str = "scan",
+                             replicate_out: bool = False):
     """Returns fn(xb, yb, lxb, lyb) -> (post, ea) with the pair axis
-    sharded over the mesh's 'dp' axis. Batch size must be a multiple of
-    the mesh size."""
+    sharded over every mesh axis. Batch size must be a multiple of the
+    mesh size. replicate_out=True makes the outputs fully replicated —
+    required when the caller must read them on every process of a
+    multi-host (DCN) mesh (a dcn-sharded output is not addressable
+    outside its home process)."""
     args = pairhmm.score_args(pack)
-    axis = mesh.axis_names[0]
-    data_sharding = NamedSharding(mesh, P(axis))
+    data_sharding = NamedSharding(mesh, batch_spec(mesh))
+    out_sharding = (NamedSharding(mesh, P()) if replicate_out
+                    else data_sharding)
 
     if backend == "pallas":
         from ..ops.pairhmm_pallas import batch_posteriors_pallas as kernel
@@ -83,26 +111,14 @@ def sharded_batch_posteriors(mesh: Mesh, pack, with_mea: bool = True,
     @partial(jax.jit,
              in_shardings=(data_sharding, data_sharding,
                            data_sharding, data_sharding),
-             out_shardings=(data_sharding, data_sharding))
+             out_shardings=(out_sharding, out_sharding))
     def fn(xb, yb, lxb, lyb):
         return kernel(xb, yb, lxb, lyb, *args, with_mea=with_mea)
 
     return fn
 
 
-def sharded_consistency(mesh: Mesh):
-    """Consistency iteration with the (N, N, L, L) pair tensor sharded
-    over its first (X-block-row) axis; the M @ M contraction makes XLA
-    all-gather the replicated operand over ICI."""
-    from ..ops import consistency as cons
-    axis = mesh.axis_names[0]
-    row_sharding = NamedSharding(mesh, P(axis))
-
-    @partial(jax.jit,
-             in_shardings=(row_sharding, row_sharding, None),
-             out_shardings=row_sharding,
-             static_argnums=())
-    def fn(post_nn, mask_nn, seq_count):
-        return cons.consistency_iter(post_nn, mask_nn, seq_count)
-
-    return fn
+# (sharded_consistency — a wrapper over the legacy dense consistency
+# iteration — was removed in round 4: production consistency is the
+# blocked sparse path, which takes `mesh=` directly in
+# ops.consistency.consistency_sparse and is dryrun-proven there.)

@@ -1,0 +1,227 @@
+"""Device-side profile-pair alignment for refinement iterations.
+
+The reference's RefineIter (src/refineflat.cpp:4-31) re-aligns two
+random halves of the MSA 100 times; each iteration's BuildPost
+(src/buildpostflat.cpp:18-106) walks every (row in half 1, row in
+half 2) sparse pair posterior — O(n^2/4 * nnz) scattered adds that the
+reference parallelizes with OpenMP and we previously ran on the host.
+On a tunneled TPU the host path is doubly wrong: the whole sparse
+store must cross the ~21 MB/s link first, and the accumulation is
+memory-latency-bound scalar work.
+
+TPU-native formulation: keep the (post-consistency) sparse store on
+device and compute, per iteration, in ONE jitted dispatch:
+
+  1. column posterior via a dual pair-index grid — for each row s of
+     half 1, densify the K-sparse rows of every pair (s, t) with
+     columns pre-mapped through t's pos->col map, reduce over t
+     (VPU compare-accumulate), then contract the per-row lattice with
+     the one-hot of s's pos->col map on the MXU:
+         out = sum_s onehot(rmap_s)^T @ (sum_t densify(P_st, cmap_t))
+     transposed-orientation pairs run the same primitive with the
+     grid/role swapped and are added as out2^T. Pairs of the wrong
+     orientation point at the store's all-zero dump row, so one static
+     grid shape covers every random split.
+  2. the MEA direction DP (CalcAlnFlat semantics, Best3 tie order
+     B >= X >= Y) over the summed posterior, emitting 2-bit direction
+     codes packed 16-per-int32 plus per-row end scores.
+
+Only the packed directions (+ scores) cross the host link
+(~cc1*cc2/16 int32s, ~256 KB for a 200-seq family vs ~4 MB for the
+dense column posterior); the O(cc1+cc2) traceback walk stays on host.
+
+Numerics note: f32 summation order differs from the host CSR walk
+(per-slot compare-accumulate + tree reductions vs sequential adds), so
+low bits of the column posterior can differ; tests assert the resulting
+MSAs (not the intermediate floats) match the host path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+from ..sequence import MultiSequence
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _build_jit():
+    import jax
+    import jax.numpy as jnp
+
+    @partial(jax.jit,
+             static_argnames=("k2", "cc_r", "cc_c"))
+    def _half(sv, sc, pid, rmap, cmap, k2, cc_r, cc_c):
+        """sum_{(r_row, c_col) in grid} onehot(rmap)^T @ densify(...).
+
+        sv/sc: (P+1, L, K) store (last row = all-zero dump slot);
+        pid: (n_r, n_c) int32 pair indices (dump for absent pairs);
+        rmap: (n_r, L) int32 pos->col of the row-owner rows;
+        cmap: (n_c, L) int32 pos->col of the col-owner rows.
+        Returns (cc_r, cc_c) f32.
+        """
+        n_r, n_c = pid.shape
+        l = sv.shape[1]
+        iota_c = jnp.arange(cc_c)
+
+        def body(s, f_acc):
+            vals = sv[pid[s], :, :k2]          # (n_c, L, k2)
+            cols = sc[pid[s], :, :k2]
+            mapped = jnp.where(
+                cols >= 0,
+                jax.vmap(lambda cm, c: cm[jnp.maximum(c, 0)])(cmap, cols),
+                -1)
+            e = jnp.zeros((n_c, l, cc_c), jnp.float32)
+            for k in range(k2):
+                e = e + vals[:, :, k:k + 1] * \
+                    (mapped[:, :, k:k + 1] == iota_c[None, None, :])
+            return f_acc.at[s].set(e.sum(axis=0))
+
+        f = jax.lax.fori_loop(
+            0, n_r, body, jnp.zeros((n_r, l, cc_c), jnp.float32))
+        a = jax.nn.one_hot(rmap, cc_r, dtype=jnp.float32)  # (n_r, L, cc_r)
+        return jax.lax.dot_general(
+            a.reshape(n_r * l, cc_r), f.reshape(n_r * l, cc_c),
+            (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)
+
+    @jax.jit
+    def _mea_dirs(post, cc2_idx):
+        """MEA DP over (cc1p, cc2p) posterior -> (packed 2-bit dirs
+        (cc1p, cc2p//16) int32, per-row end scores (cc1p,))."""
+        cc1p, cc2p = post.shape
+        z = jnp.zeros((1,), jnp.float32)
+
+        def row(old, prow):
+            b = old[:-1] + prow
+            x = old[1:]
+            e = jnp.maximum(b, x)
+            new = jax.lax.cummax(jnp.concatenate([z, e]))
+            y = new[:-1]
+            d = jnp.where((b >= x) & (b >= y), 0,
+                          jnp.where(x >= y, 1, 2)).astype(jnp.int32)
+            return new, (d, new[cc2_idx])
+
+        _, (dirs, scores) = jax.lax.scan(
+            row, jnp.zeros((cc2p + 1,), jnp.float32), post)
+        shifts = (1 << (2 * jnp.arange(16, dtype=jnp.int32)))
+        packed = (dirs.reshape(cc1p, cc2p // 16, 16) * shifts).sum(
+            axis=-1).astype(jnp.int32)
+        return packed, scores
+
+    @partial(jax.jit, static_argnames=("k2", "cc_r", "cc_c"))
+    def build_and_mea(sv, sc, pid_n, rmap1, cmap2, pid_t, rmap2, cmap1,
+                      cc2_idx, k2, cc_r, cc_c):
+        out = _half(sv, sc, pid_n, rmap1, cmap2, k2, cc_r, cc_c)
+        out2 = _half(sv, sc, pid_t, rmap2, cmap1, k2, cc_c, cc_r)
+        post = out + out2.T
+        return _mea_dirs(post, cc2_idx)
+
+    return build_and_mea
+
+
+class DeviceJoiner:
+    """Per-family device joiner over a resident sparse store.
+
+    pairs must be the canonical x-major (x < y) MPC pair list over n
+    sequences; store row P (the last) must be the all-zero dump slot.
+    """
+
+    def __init__(self, store_v, store_c, pairs, lens, n: int,
+                 max_nnz: int, label_to_index: dict[str, int]):
+        self.sv = store_v
+        self.sc = store_c
+        self.lens = lens
+        self.n = n
+        self.l = store_v.shape[1]
+        self.k2 = min(store_v.shape[2],
+                      max(8, -(-int(max_nnz) // 8) * 8))
+        self.l2i = label_to_index
+        dump = store_v.shape[0] - 1
+        self.dump = dump
+        pm = np.full((n, n), dump, np.int32)
+        for i, (x, y) in enumerate(pairs):
+            pm[x, y] = i
+        self.pair_mx = pm
+        self._fn = _build_jit()
+        self._grid_pad = 16
+        self._cc_pad = 256
+
+    def _maps(self, msa: MultiSequence, n_pad: int):
+        """(store indices (n_pad,), pos->col bank (n_pad, L) int32)."""
+        idx = np.zeros(n_pad, np.int32)
+        bank = np.zeros((n_pad, self.l), np.int32)
+        for i, s in enumerate(msa):
+            g = self.l2i[s.label]
+            idx[i] = g
+            p = s.pos_to_col()
+            bank[i, :len(p)] = p
+        return idx, bank
+
+    def align(self, msa1: MultiSequence, msa2: MultiSequence
+              ) -> tuple[float, str]:
+        """(score, path) for aligning msa1 against msa2 — the device
+        equivalent of align_alns' build_post + mea_align."""
+        import jax.numpy as jnp
+        n1, n2 = len(msa1), len(msa2)
+        cc1 = msa1.col_count()
+        cc2 = msa2.col_count()
+        gp = self._grid_pad
+        n1p = _round_up(n1, gp)
+        n2p = _round_up(n2, gp)
+        ccp = _round_up(max(cc1, cc2, 16), self._cc_pad)
+
+        idx1, bank1 = self._maps(msa1, n1p)
+        idx2, bank2 = self._maps(msa2, n2p)
+        # padding rows point at themselves -> pair_mx diag = dump
+        g1 = idx1
+        g2 = idx2
+        pid_n = self.pair_mx[np.ix_(g1, g2)]      # s < t orientation
+        pid_t = self.pair_mx[np.ix_(g2, g1)]      # t < s orientation
+        # padded grid rows/cols must hit the dump slot even when the
+        # padding index (0) collides with a real sequence
+        pid_n[n1:, :] = self.dump
+        pid_n[:, n2:] = self.dump
+        pid_t[n2:, :] = self.dump
+        pid_t[:, n1:] = self.dump
+
+        packed, scores = self._fn(
+            self.sv, self.sc,
+            jnp.asarray(pid_n), jnp.asarray(bank1), jnp.asarray(bank2),
+            jnp.asarray(pid_t), jnp.asarray(bank2), jnp.asarray(bank1),
+            jnp.asarray(np.int32(cc2)),
+            self.k2, ccp, ccp)
+        packed = np.asarray(packed[:cc1, :])
+        score = float(np.asarray(scores[cc1 - 1])) if cc1 else 0.0
+
+        # unpack 2-bit dirs and walk (host; O(cc1+cc2))
+        shifts = 2 * np.arange(16, dtype=np.int32)
+        dirs = ((packed[:, :, None] >> shifts[None, None, :]) & 3
+                ).reshape(cc1, -1)[:, :cc2]
+        path = []
+        i, j = cc1, cc2
+        while i > 0 or j > 0:
+            if i == 0:
+                path.append("Y")
+                j -= 1
+            elif j == 0:
+                path.append("X")
+                i -= 1
+            else:
+                d = dirs[i - 1, j - 1]
+                if d == 0:
+                    path.append("B")
+                    i -= 1
+                    j -= 1
+                elif d == 1:
+                    path.append("X")
+                    i -= 1
+                else:
+                    path.append("Y")
+                    j -= 1
+        path.reverse()
+        return score, "".join(path)

@@ -33,7 +33,7 @@ from ..sequence import MultiSequence, Sequence
 from ..utils import logging as mlog
 from . import posteriors as post_mod
 from .mpc import MPC
-from .progressive import PairPosteriors
+from .progressive import PairPosteriors  # noqa: F401 (re-export for tests)
 
 # device-memory budget for one replicate group's sparse stores
 # (vals f32 + cols i32), conservative for a 16 GB chip that also holds
@@ -105,18 +105,9 @@ def run_replicates_batched(seqs: MultiSequence, reps, load_hp, alpha: str,
                     sv = consistency_sparse(sv, sc, n, consiters,
                                             seq_block=seq_block,
                                             max_nnz=min(int(max_nnz), 32))
-            posts = PairPosteriors()
-            import jax.numpy as jnp
-            k_full = sv.shape[2]
-            k2 = min(k_full,
-                     max(8, -(-int(min(max_nnz, k_full)) // 8) * 8))
-            vals_np = np.asarray(sv[:, :, :k2])
-            cols_np = np.asarray(
-                sc[:, :, :k2].astype(jnp.int16)).astype(np.int32)
-            for i, (x, y) in enumerate(pairs):
-                posts.set_sparse(x, y, vals_np[i, :lens[x]],
-                                 cols_np[i, :lens[x]], int(lens[y]))
-            del vals_np, cols_np
+            with mlog.stage("store-fetch"):
+                posts = post_mod.posts_from_store(sv, sc, pairs, lens,
+                                                  pad_to)
 
             # all replicates of this seed (perms differ only on host)
             while rep_queue and rep_queue[0][0] == seed:

@@ -32,12 +32,27 @@ DEFAULT_CONSISTENCY_ITERS = 2   # reference: src/pairhmm.h:8
 DEFAULT_REFINE_ITERS = 100      # reference: src/pairhmm.h:9
 
 
+def device_refine(n: int) -> bool:
+    """Whether refinement joins run on device (pipeline/devjoin.py).
+
+    The device path wins when the O(n^2/4 * nnz) per-iteration
+    accumulation dwarfs its fixed dispatch cost; small families keep
+    the host path (also the path the BAliBASE golden tier pins).
+    MUSCLE_TPU_DEVICE_REFINE=1/0 forces it either way.
+    """
+    import os
+    v = os.environ.get("MUSCLE_TPU_DEVICE_REFINE")
+    if v in ("0", "1"):
+        return v == "1"
+    return n >= 64
+
+
 class MPC:
     def __init__(self,
                  consistency_iters: int = DEFAULT_CONSISTENCY_ITERS,
                  refine_iters: int = DEFAULT_REFINE_ITERS,
                  tree_perm: str | None = None,
-                 batch_size: int = 32,
+                 batch_size: int = 256,
                  guide_tree_in: Tree | None = None,
                  input_order: bool = False,
                  mega=None,
@@ -101,7 +116,7 @@ class MPC:
         return tree
 
     def _finish(self, input_seqs, derep, unique, tree, label_to_index,
-                posts, refine_rng):
+                posts, refine_rng, joiner=None):
         """Join order -> progressive -> refine -> sort -> dupes."""
         from ..utils import logging as mlog
         idx1, idx2 = guide_tree_join_order(tree, label_to_index)
@@ -110,7 +125,7 @@ class MPC:
                                     posts)
         with mlog.stage("refine"):
             msa = refine(msa, self.refine_iters, label_to_index, posts,
-                         rng=refine_rng)
+                         rng=refine_rng, joiner=joiner)
         msa = self._sort(msa, unique, tree, label_to_index)
         dupes = derep.rep_label_to_dupe_labels(input_seqs)
         if dupes:
@@ -177,30 +192,27 @@ class MPC:
                     seq_block=seq_block,
                     precision=self.consistency_precision,
                     max_nnz=min(int(max_nnz), self.sparse_k))
-        # single bulk device->host fetch of the (small) sparse store,
-        # trimmed to the occupied K-prefix (sparsify packs valid slots
-        # first) with int16 cols (L <= 24576 < 2^15) — the tunneled
-        # host link runs ~21 MB/s, so this roughly halves twice the
-        # fetch on a 200-seq family (~90 s)
-        import jax.numpy as jnp
-        posts = PairPosteriors()
-        k_full = store_v.shape[2]
-        k2 = min(k_full,
-                 max(8, -(-int(min(max_nnz, k_full)) // 8) * 8))
-        vals_np = np.asarray(store_v[:, :, :k2])
-        # int16 halves the fetch but wraps at 2^15 columns; the long-
-        # pair checkpoint path advertises no length cap, so guard it
-        ctype = jnp.int16 if pad_to < (1 << 15) else jnp.int32
-        cols_np = np.asarray(
-            store_c[:, :, :k2].astype(ctype)).astype(np.int32)
+        # single bulk device->host fetch of the sparse store in PACKED
+        # CSR form: only the true nnz crosses the link (measured ~5-6
+        # mean entries/row vs K=32 slots => ~5x fewer bytes; the
+        # tunneled host link runs ~21 MB/s, making this the difference
+        # between a ~90 s and a ~20 s fetch on a 200-seq family)
+        with mlog.stage("store-fetch"):
+            posts = post_mod.posts_from_store(store_v, store_c, pairs,
+                                              lens, pad_to)
+        joiner = None
+        if device_refine(n):
+            # keep the store device-resident: refine's per-iteration
+            # column-posterior build + MEA run on device (devjoin.py)
+            from .devjoin import DeviceJoiner
+            joiner = DeviceJoiner(store_v, store_c, pairs, lens, n,
+                                  min(int(max_nnz), self.sparse_k),
+                                  label_to_index)
         del store_v, store_c
-        for i, (x, y) in enumerate(pairs):
-            posts.set_sparse(x, y, vals_np[i, :lens[x]],
-                             cols_np[i, :lens[x]], int(lens[y]))
-        del vals_np, cols_np
 
         return self._finish(input_seqs, derep, unique, tree,
-                            label_to_index, posts, refine_rng)
+                            label_to_index, posts, refine_rng,
+                            joiner=joiner)
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -236,7 +248,7 @@ def align(seqs: MultiSequence, *,
           consistency_iters: int = DEFAULT_CONSISTENCY_ITERS,
           refine_iters: int = DEFAULT_REFINE_ITERS,
           hmm_params: HMMParams | None = None,
-          batch_size: int = 32,
+          batch_size: int = 256,
           guide_tree_in: Tree | None = None,
           input_order: bool = False,
           mega=None) -> MultiSequence:

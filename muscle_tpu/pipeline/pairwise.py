@@ -19,7 +19,7 @@ from . import posteriors as post_mod
 
 
 class PairAligner:
-    def __init__(self, seqs, pack, alpha: str, batch_size: int = 32,
+    def __init__(self, seqs, pack, alpha: str, batch_size: int = 256,
                  backend: str = "auto"):
         self.pack = pack
         self.alpha = alpha
@@ -39,27 +39,21 @@ class PairAligner:
             batch_size=self.batch_size, with_mea=with_mea,
             backend=self.backend)
 
-    def sparse_posteriors(self, pairs: list[tuple[int, int]]):
-        """Host-side fixed-K sparse posteriors: (vals (P, L, K'),
-        cols (P, L, K'), ea (P,)). The device->host transfer is ~L/(2K)x
-        smaller than the dense path; the fetch is further trimmed to
-        the occupied K-prefix (sparsify packs valid slots first) with
-        int16 cols — the tunneled host link runs ~21 MB/s, and PProg
-        joins fetch up to ~200 MB of store per join otherwise."""
-        import jax.numpy as jnp
-        sv, sc, ea, max_nnz = post_mod.all_pairs_posteriors_sparse(
+    def csr_posteriors(self, pairs: list[tuple[int, int]]):
+        """Packed CSR posteriors: ([(vals, cols, rowptr)] per pair,
+        ea (P,)). Only the true nnz crosses the device->host link (the
+        tunneled link runs ~21 MB/s and PProg joins fetch per-join —
+        the packed stream is ~5x smaller than even the K-prefix
+        fixed-K fetch)."""
+        sv, sc, ea, _max_nnz = post_mod.all_pairs_posteriors_sparse(
             self.codes, self.lens, self.pack, pairs,
             batch_size=self.batch_size, backend=self.backend)
-        p = len(pairs)
-        k = sv.shape[2]
-        k2 = min(k, max(8, -(-int(min(max_nnz, k)) // 8) * 8))
-        vals = np.asarray(sv[:p, :, :k2])
-        # guard the int16 wire format against column indices >= 2^15
-        # (pairs longer than 32767 go through the no-cap long path)
-        ctype = jnp.int16 if self.codes.shape[1] < (1 << 15) else jnp.int32
-        cols = np.asarray(sc[:p, :, :k2].astype(ctype)).astype(
-            np.int32)
-        return vals, cols, ea
+        flat_v, flat_c, nnz = post_mod.fetch_store_csr(
+            sv, sc, self.codes.shape[1])
+        views = post_mod.csr_views(
+            flat_v, flat_c, nnz, len(pairs),
+            lambda i: int(self.lens[pairs[i][0]]))
+        return views, ea
 
     def ea(self, pairs: list[tuple[int, int]]) -> np.ndarray:
         """EA scores only — no posterior leaves the device."""
@@ -78,13 +72,17 @@ class PairAligner:
                     ) -> list[tuple[float, str]]:
         """(EA, path) per pair — pair-HMM posterior + MEA DP + traceback
         (reference: AlignPairFlat). Posteriors cross to host in the
-        sparse layout; the MEA DP runs on the host densified matrix."""
-        from ..ops.sparse import densify_np
-        vals, cols, ea = self.sparse_posteriors(pairs)
+        packed CSR layout; the MEA DP runs on the host densified
+        matrix."""
+        views, ea = self.csr_posteriors(pairs)
         out = []
         for k, (i, j) in enumerate(pairs):
-            p = densify_np(vals[k, :self.lens[i]], cols[k, :self.lens[i]],
-                           int(self.lens[j]))
+            vals, cols, rowptr = views[k]
+            lx = int(self.lens[i])
+            ly = int(self.lens[j])
+            p = np.zeros((lx, ly), np.float32)
+            rows = np.repeat(np.arange(lx), np.diff(rowptr))
+            p[rows, cols] = vals
             _, path = mea_align(p)
             out.append((float(ea[k]), path))
         return out

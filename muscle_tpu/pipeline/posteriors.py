@@ -149,7 +149,7 @@ def all_pairs_posteriors(codes: np.ndarray, lens: np.ndarray,
 
 
 def _pick_chunk(batch_size, n_pairs, backend, n_dev):
-    return round_up(min(batch_size, n_pairs), _chunk_step(backend, n_dev))
+    return _rung(min(batch_size, n_pairs), _chunk_step(backend, n_dev))
 
 
 # Length-bucket ladder (SURVEY Phase 2): pairs are grouped by
@@ -196,12 +196,42 @@ def _chunk_step(backend: str, n_dev: int) -> int:
     return step
 
 
+def _rung(x: int, step: int) -> int:
+    """Round x UP to step * 2^i. Chunk sizes (and with store_rows, the
+    whole compile-shape space) stay on a tiny geometric ladder —
+    Super4/Super7 run one MPC per cluster/shrub with ever-different
+    pair counts, and every fresh shape is a fresh ~10 s XLA compile on
+    the chip (the round-4 super5 profile showed compile time, not
+    work, dominating small clusters)."""
+    r = step
+    while r < x:
+        r *= 2
+    return r
+
+
+def _floor_rung(x: int, step: int) -> int:
+    r = step
+    while r * 2 <= x:
+        r *= 2
+    return r
+
+
+def store_rows(n_pairs: int) -> int:
+    """Bucketed pair-axis size for the device sparse store (>= one
+    dump row beyond n_pairs; 1/4-step geometric rungs cap both memory
+    waste and the number of distinct store shapes ever compiled)."""
+    cap = 16
+    while cap < n_pairs + 1:
+        cap += max(16, cap // 4)
+    return cap
+
+
 def _clamp_chunk_by_len(b: int, lb: int, step: int = 8) -> int:
     """Cap the pair chunk so the fwd+bwd (Lx, B, Ly) lattices plus the
     posterior stay within ~8 GB of HBM at bucket length lb; the result
-    stays a multiple of `step` (tile/mesh granularity)."""
+    stays on the step * 2^i rung ladder (compile-shape discipline)."""
     cap = max(step, int((8 << 30) // max(1, 12 * lb * lb)))
-    return max(step, min(b, cap // step * step))
+    return max(step, min(b, _floor_rung(cap, step)))
 
 
 def _sparse_store_loop(make_fn, chunk_args_fn, pairs, lens, b, k,
@@ -218,8 +248,12 @@ def _sparse_store_loop(make_fn, chunk_args_fn, pairs, lens, b, k,
     from ..ops import sparse as sp
 
     n_pairs = len(pairs)
-    store_v = jnp.zeros((n_pairs + 1, l_full, k), jnp.float32)
-    store_c = jnp.full((n_pairs + 1, l_full, k), -1, jnp.int32)
+    # pair axis bucketed (store_rows): rows beyond n_pairs stay
+    # all-zero — the last one is the consistency dump slot, the rest
+    # are shape padding so Super4/Super7's per-cluster stores reuse
+    # one compiled shape instead of compiling per pair count
+    store_v = jnp.zeros((store_rows(n_pairs), l_full, k), jnp.float32)
+    store_c = jnp.full((store_rows(n_pairs), l_full, k), -1, jnp.int32)
     store_ea = jnp.zeros((n_pairs,), jnp.float32)
     max_nnz = jnp.zeros((), jnp.int32)
 
@@ -367,8 +401,8 @@ def _long_pairs_sparse(codes, lens, pack, pairs, k):
     from ..ops.pairhmm_long import long_pair_posterior_sparse
     l = codes.shape[1]
     n_pairs = len(pairs)
-    sv = np.zeros((n_pairs + 1, l, k), np.float32)
-    sc = np.full((n_pairs + 1, l, k), -1, np.int32)
+    sv = np.zeros((store_rows(n_pairs), l, k), np.float32)
+    sc = np.full((store_rows(n_pairs), l, k), -1, np.int32)
     ea = np.zeros(n_pairs, np.float32)
     max_nnz = 0
     use_pallas = default_backend() == "pallas"
@@ -463,10 +497,10 @@ def ensemble_pairs_posteriors_sparse(codes: np.ndarray, lens: np.ndarray,
     if n_dev > 1:
         # shard the (rep, pair) batch axis across the mesh — every array
         # argument carries batch as its leading axis (ADVICE r2)
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        from ..parallel.mesh import make_mesh
+        from jax.sharding import NamedSharding
+        from ..parallel.mesh import batch_spec, make_mesh
         mesh = make_mesh()
-        dsh = NamedSharding(mesh, P(mesh.axis_names[0]))
+        dsh = NamedSharding(mesh, batch_spec(mesh))
         base_fn = multi_fn
         mea_flag = with_mea
 
@@ -482,8 +516,10 @@ def ensemble_pairs_posteriors_sparse(codes: np.ndarray, lens: np.ndarray,
     cj = jnp.asarray(codes)
     lj = jnp.asarray(lens)
 
-    store_v = jnp.zeros((r_count, n_pairs + 1, l_full, k), jnp.float32)
-    store_c = jnp.full((r_count, n_pairs + 1, l_full, k), -1, jnp.int32)
+    store_v = jnp.zeros((r_count, store_rows(n_pairs), l_full, k),
+                        jnp.float32)
+    store_c = jnp.full((r_count, store_rows(n_pairs), l_full, k), -1,
+                       jnp.int32)
     store_ea = jnp.zeros((r_count, n_pairs), jnp.float32)
     max_nnz = jnp.zeros((), jnp.int32)
 
@@ -526,6 +562,57 @@ def ensemble_pairs_posteriors_sparse(codes: np.ndarray, lens: np.ndarray,
                 store_v, store_c, store_ea, max_nnz, post, ea,
                 rij, jnp.asarray(pi), kk=k)
     return store_v, store_c, np.asarray(store_ea), int(max_nnz)
+
+
+def fetch_store_csr(store_v, store_c, pad_to: int):
+    """Fetch a device sparse store as a packed CSR stream.
+
+    Returns (flat_vals (total,) f32, flat_cols (total,) int32,
+    nnz (P_rows, L) int64) on host. Valid slots arrive in row-major
+    packed order, so per-pair CSR views are just offset slices (callers
+    compute rowptr from the nnz counts). Only real entries cross the
+    host link — the fixed-K padding never leaves the device.
+    """
+    from ..ops import sparse as sp
+    nnz_dev, total_dev = sp.store_nnz(store_c)
+    total = int(total_dev)
+    ctype = jnp.int16 if pad_to < (1 << 15) else jnp.int32
+    flat_v, flat_c = sp.pack_store(store_v, store_c, sp.pack_cap(total),
+                                   ctype)
+    flat_v = np.asarray(flat_v)[:total]
+    flat_c = np.asarray(flat_c)[:total].astype(np.int32)
+    nnz_np = np.asarray(nnz_dev.astype(jnp.uint8)).astype(np.int64)
+    return flat_v, flat_c, nnz_np
+
+
+def csr_views(flat_v, flat_c, nnz_np, n_pairs: int, lx_of):
+    """Per-pair (vals, cols, rowptr) CSR views into the packed stream
+    (zero copies beyond the rowptr rebase). lx_of(i) gives pair i's
+    row count."""
+    l = nnz_np.shape[1]
+    big_rowptr = np.zeros(n_pairs * l + 1, np.int64)
+    np.cumsum(nnz_np[:n_pairs].ravel(), out=big_rowptr[1:])
+    out = []
+    for i in range(n_pairs):
+        lx = lx_of(i)
+        base = big_rowptr[i * l]
+        end = big_rowptr[i * l + lx]
+        out.append((flat_v[base:end], flat_c[base:end],
+                    big_rowptr[i * l:i * l + lx + 1] - base))
+    return out
+
+
+def posts_from_store(store_v, store_c, pairs, lens, pad_to: int):
+    """Fetch a device sparse store into a host PairPosteriors (CSR
+    views into one flat buffer — zero copies beyond the wire fetch)."""
+    from .progressive import PairPosteriors
+    flat_v, flat_c, nnz_np = fetch_store_csr(store_v, store_c, pad_to)
+    views = csr_views(flat_v, flat_c, nnz_np, len(pairs),
+                      lambda i: int(lens[pairs[i][0]]))
+    posts = PairPosteriors()
+    for (x, y), (v, c, r) in zip(pairs, views):
+        posts.set_csr(x, y, v, c, r, int(lens[y]))
+    return posts
 
 
 def ea_dist_matrix(n: int, pairs: list[tuple[int, int]], ea: np.ndarray

@@ -124,14 +124,14 @@ class PProg:
         """Column-posterior build + MEA path for one MSA pair. `rng`
         (default: the shared stream) drives the pair sampling — pass a
         clone()d snapshot to replay a score_round sampling."""
-        from ..native import build_post_accumulate_sparse_native
-        from .progressive import _accumulate_sparse_np
+        from ..native import build_post_accumulate_csr_native
+        from .progressive import _accumulate_csr_np
         rng = rng if rng is not None else self.rng
         n1, n2 = len(msa1), len(msa2)
         cc1, cc2 = msa1.col_count(), msa2.col_count()
         sampled = get_pairs(n1, n2, self.target, rng)
         gpairs = self._gpairs(msa1, msa2, sampled)
-        vals, cols, eas = self.aligner.sparse_posteriors(gpairs)
+        views, eas = self.aligner.csr_posteriors(gpairs)
         avg_ea = float(np.mean(eas)) if len(eas) else 0.0
 
         col_post = np.zeros((cc1, cc2), dtype=np.float32)
@@ -140,13 +140,11 @@ class PProg:
         ptc2 = {j: msa2[j].pos_to_col() for j in
                 {j for _, j in sampled}}
         for k, (i, j) in enumerate(sampled):
-            gi, gj = gpairs[k]
-            v = vals[k, :self.aligner.lens[gi]]
-            c = cols[k, :self.aligner.lens[gi]]
-            if not build_post_accumulate_sparse_native(
-                    col_post, v, c, ptc1[i], ptc2[j], False):
-                _accumulate_sparse_np(col_post, v, c, ptc1[i], ptc2[j],
-                                      False)
+            v, c, rp = views[k]
+            if not build_post_accumulate_csr_native(
+                    col_post, v, c, rp, ptc1[i], ptc2[j], False):
+                _accumulate_csr_np(col_post, v, c, rp, ptc1[i], ptc2[j],
+                                   False)
         _, path = mea_align(col_post)
         return avg_ea, path
 

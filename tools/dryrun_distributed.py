@@ -1,0 +1,149 @@
+"""Two-process jax.distributed bring-up of the multi-host (DCN) path.
+
+The reference has no distributed mode at all (SURVEY §5: one process +
+OpenMP); the TPU-native scale-out is jax.distributed + a 2-D
+(dcn, ici) mesh (parallel/mesh.py:make_mesh_2d). Real multi-host TPU
+hardware is not available in this environment, so this harness proves
+the path BY CONSTRUCTION the same way the virtual-mesh dryrun does:
+two OS processes, each with 4 virtual CPU devices, joined through
+jax.distributed.initialize + gloo CPU collectives into one 8-device
+world, with the production pipeline (sharded pair-grid posteriors ->
+blocked sparse consistency) jit-ed over the global (2, 4) dcn x ici
+mesh and asserted BIT-IDENTICAL to a single-device run.
+
+Usage:
+  python tools/dryrun_distributed.py            # parent: spawns 2 workers
+  python tools/dryrun_distributed.py --worker I PORT   # internal
+"""
+import os
+import socket
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+N_PROC = 2
+LOCAL_DEV = 4
+
+
+def worker(pid: int, port: int) -> None:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["PALLAS_AXON_POOL_IPS"] = ""
+    os.environ["JAX_CPU_COLLECTIVES_IMPLEMENTATION"] = "gloo"
+    # the parent may carry --xla_force_host_platform_device_count from
+    # the driver; local device count is set via jax_num_cpu_devices
+    os.environ["XLA_FLAGS"] = " ".join(
+        f for f in os.environ.get("XLA_FLAGS", "").split()
+        if "host_platform_device_count" not in f)
+    sys.path.insert(0, REPO)
+    import jax
+    # sitecustomize may force-register a TPU plugin and overwrite
+    # jax_platforms — put it back (same dance as tests/conftest.py)
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", LOCAL_DEV)
+
+    import numpy as np
+    from muscle_tpu.hmm.params import HMMParams
+    from muscle_tpu.ops import consistency as cons
+    from muscle_tpu.ops import pairhmm
+    from muscle_tpu.parallel.mesh import (global_array, init_distributed,
+                                          make_mesh_2d,
+                                          sharded_batch_posteriors)
+    from muscle_tpu.ops import sparse as sp
+
+    init_distributed(coordinator=f"127.0.0.1:{port}",
+                     num_processes=N_PROC, process_id=pid)
+    assert jax.process_count() == N_PROC, jax.process_count()
+    devs = jax.devices()
+    assert len(devs) == N_PROC * LOCAL_DEV, len(devs)
+    mesh = make_mesh_2d(devs)
+    assert dict(mesh.shape) == {"dcn": N_PROC, "ici": LOCAL_DEV}, mesh
+
+    import jax.numpy as jnp
+
+    # ---- inputs (identical on every process: same seed) ----
+    pack = HMMParams.from_defaults().to_scores()
+    n, l_pad = 8, 128
+    rng = np.random.default_rng(7)
+    lens = rng.integers(80, 120, size=n).astype(np.int32)
+    codes = np.full((n, l_pad), 20, np.int32)
+    for i in range(n):
+        codes[i, :lens[i]] = rng.integers(0, 20, size=lens[i])
+    pairs = [(x, y) for x in range(n) for y in range(x + 1, n)]
+    p = len(pairs)          # 28
+    b = 32                  # one padded chunk, multiple of 8 devices
+    full = pairs + [pairs[0]] * (b - p)
+    xi = np.array([q[0] for q in full])
+    yi = np.array([q[1] for q in full])
+
+    # ---- stage 1: pair-grid posteriors over the (dcn, ici) mesh ----
+    fn2d = sharded_batch_posteriors(mesh, pack, replicate_out=True)
+    post_g, ea_g = fn2d(global_array(mesh, codes[xi]),
+                        global_array(mesh, codes[yi]),
+                        global_array(mesh, lens[xi]),
+                        global_array(mesh, lens[yi]))
+    post_g = np.asarray(post_g)     # replicated -> locally addressable
+    ea_g = np.asarray(ea_g)
+
+    # single-device reference on the local default device
+    args = pairhmm.score_args(pack)
+    post_1, ea_1 = jax.jit(
+        lambda a, c, d, e: pairhmm.batch_posteriors(a, c, d, e, *args)
+    )(codes[xi], codes[yi], lens[xi], lens[yi])
+    assert np.array_equal(post_g, np.asarray(post_1)), \
+        "2-host posterior != single-device posterior"
+    assert np.array_equal(ea_g, np.asarray(ea_1)), \
+        "2-host EA != single-device EA"
+
+    # ---- stage 2: blocked sparse consistency over the 2-D mesh ----
+    vals, cols, _nnz = jax.jit(sp.sparsify, static_argnames=("k",))(
+        jnp.asarray(post_g), k=16)
+    sv = np.zeros((p + 1, l_pad, 16), np.float32)
+    sc = np.full((p + 1, l_pad, 16), -1, np.int32)
+    sv[:p] = np.asarray(vals)[:p]
+    sc[:p] = np.asarray(cols)[:p]
+    cv2 = cons.consistency_sparse(jnp.asarray(sv), jnp.asarray(sc), n, 2,
+                                  seq_block=4, mesh=mesh)
+    cv1 = cons.consistency_sparse(jnp.asarray(sv), jnp.asarray(sc), n, 2,
+                                  seq_block=4, mesh=None)
+    assert np.array_equal(np.asarray(cv2), np.asarray(cv1)), \
+        "2-host consistency != single-device consistency"
+    assert np.isfinite(np.asarray(cv2)).all()
+
+    print(f"worker {pid}: OK dcn x ici = {N_PROC} x {LOCAL_DEV} "
+          f"bit-identical (posteriors, EA, consistency; {p} pairs)",
+          flush=True)
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]), int(sys.argv[3]))
+        return
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    procs = [subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--worker", str(i),
+         str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(N_PROC)]
+    outs = []
+    ok = True
+    for i, pr in enumerate(procs):
+        try:
+            out, _ = pr.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            pr.kill()
+            out, _ = pr.communicate()
+            ok = False
+        outs.append(out)
+        ok &= (pr.returncode == 0) and (f"worker {i}: OK" in out)
+    if not ok:
+        for i, out in enumerate(outs):
+            sys.stderr.write(f"--- worker {i} output ---\n{out}\n")
+        raise SystemExit("dryrun_distributed FAILED")
+    print("dryrun_distributed ok: 2-process jax.distributed (gloo) "
+          "(2, 4) dcn x ici mesh bit-identical to single device")
+
+
+if __name__ == "__main__":
+    main()
