@@ -49,6 +49,28 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _pow2_rung(x: int, lo: int = 16) -> int:
+    """Power-of-two padding rung: the grid sides of a random ~n/2
+    bipartition land on ONE rung for the whole family (e.g. any
+    binomial(200, 1/2) split pads to 128x128), so the joiner compiles
+    once instead of once per split size."""
+    r = lo
+    while r < x:
+        r *= 2
+    return r
+
+
+def _cc_rung(x: int) -> int:
+    """Column-count padding on the bucket ladder (<= 33% waste; the
+    densify cost is linear in the padded width, so pow2 would be too
+    coarse)."""
+    from .posteriors import BUCKET_LADDER
+    for b in BUCKET_LADDER:
+        if b >= x:
+            return b
+    return _round_up(x, 1024)
+
+
 def _build_jit():
     import jax
     import jax.numpy as jnp
@@ -148,8 +170,6 @@ class DeviceJoiner:
             pm[x, y] = i
         self.pair_mx = pm
         self._fn = _build_jit()
-        self._grid_pad = 16
-        self._cc_pad = 256
 
     def _maps(self, msa: MultiSequence, n_pad: int):
         """(store indices (n_pad,), pos->col bank (n_pad, L) int32)."""
@@ -170,10 +190,9 @@ class DeviceJoiner:
         n1, n2 = len(msa1), len(msa2)
         cc1 = msa1.col_count()
         cc2 = msa2.col_count()
-        gp = self._grid_pad
-        n1p = _round_up(n1, gp)
-        n2p = _round_up(n2, gp)
-        ccp = _round_up(max(cc1, cc2, 16), self._cc_pad)
+        n1p = _pow2_rung(n1)
+        n2p = _pow2_rung(n2)
+        ccp = _cc_rung(max(cc1, cc2, 16))
 
         idx1, bank1 = self._maps(msa1, n1p)
         idx2, bank2 = self._maps(msa2, n2p)

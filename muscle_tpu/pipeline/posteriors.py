@@ -640,8 +640,7 @@ def _make_mega_chunk_fn(mega, pack, with_mea, backend):
     else:
         emis_fn = pairhmm.batch_posteriors_emissions
 
-    @jax.jit
-    def run_chunk(px, py, lx, ly):
+    def _chunk(px, py, lx, ly):
         b, l, f = px.shape
         pxr = jax.vmap(lambda p, n: jnp.roll(jnp.flip(p, 0), n - l, axis=0)
                        )(px, lx)
@@ -656,7 +655,18 @@ def _make_mega_chunk_fn(mega, pack, with_mea, backend):
         return emis_fn(e, e_rev, ins_x, ins_y, ins_xr, ins_yr, lx, ly,
                        start, tv, with_mea=with_mea)
 
-    return run_chunk
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        # structure alignment shards its pair grid like the letter path
+        # (pure data parallel over the mesh; the small mega tables are
+        # replicated closures)
+        from jax.sharding import NamedSharding
+        from ..parallel.mesh import batch_spec, make_mesh
+        mesh = make_mesh()
+        dsh = NamedSharding(mesh, batch_spec(mesh))
+        return jax.jit(_chunk, in_shardings=(dsh,) * 4,
+                       out_shardings=(dsh, dsh))
+    return jax.jit(_chunk)
 
 
 def all_pairs_posteriors_mega(profiles: np.ndarray, lens: np.ndarray,
@@ -680,8 +690,9 @@ def all_pairs_posteriors_mega(profiles: np.ndarray, lens: np.ndarray,
 
     if backend == "auto":
         backend = default_backend()
+    import jax
     run_chunk = _make_mega_chunk_fn(mega, pack, with_mea, backend)
-    b = _pick_chunk(batch_size, n_pairs, backend, 1)
+    b = _pick_chunk(batch_size, n_pairs, backend, len(jax.devices()))
     posts = []
     eas = []
     for lo, m, xi, yi in _chunk_iter(pairs, b):
@@ -705,8 +716,10 @@ def all_pairs_posteriors_mega_sparse(profiles: np.ndarray,
     """Sparse device-resident variant of all_pairs_posteriors_mega."""
     if backend == "auto":
         backend = default_backend()
+    import jax
+    n_dev = len(jax.devices())
     run_chunk = _make_mega_chunk_fn(mega, pack, True, backend)
-    b = _pick_chunk(batch_size, len(pairs), backend, 1)
+    b = _pick_chunk(batch_size, len(pairs), backend, n_dev)
     pj = jnp.asarray(profiles)
     lj = jnp.asarray(lens)
 
@@ -717,4 +730,5 @@ def all_pairs_posteriors_mega_sparse(profiles: np.ndarray,
         return pj[xi, :lb], pj[yi, :lb], lj[xi], lj[yi]
 
     return _sparse_store_loop(make_fn, chunk_args, pairs, lens, b, k,
-                              profiles.shape[1], bucket=bucket)
+                              profiles.shape[1], bucket=bucket,
+                              step=_chunk_step(backend, n_dev))
