@@ -159,3 +159,42 @@ def parse_mega(path_or_text: str) -> MegaProfileSet:
     return MegaProfileSet(names, sizes, np.array(weights, np.float32),
                           log_probs, log_prob_mx, log_odds_mx,
                           labels, profiles, seqs, gap_open, gap_ext)
+
+
+def write_mega(ms: MegaProfileSet, path: str) -> None:
+    """Serialize in the reference's text format (inverse of parse_mega;
+    reference reader: Mega::FromFile src/mega.cpp:123-271). Stored
+    probabilities are exp() of the parsed logs, so a parse->write round
+    trip reproduces the numbers the scorer actually uses."""
+    out = []
+    f_count = ms.feature_count
+    out.append("mega\t%d\t%d\t%.6g\t%.6g" %
+               (f_count, len(ms.labels), ms.gap_open, ms.gap_ext))
+    for f in range(f_count):
+        k = ms.alpha_sizes[f]
+        out.append("%d\t%s\t%d\t%.6g" %
+                   (f, ms.feature_names[f], k, float(ms.weights[f])))
+        freqs = np.exp(ms.log_probs[f])
+        out.append("freqs\t" + "\t".join("%.6g" % v for v in freqs))
+        probs = np.exp(ms.log_prob_mx[f])
+        for l1 in range(k):
+            out.append("%d\t" % l1 + "\t".join(
+                "%.6g" % probs[l1, l2] for l2 in range(l1 + 1)))
+        out.append("logoddsmx")
+        for l1 in range(k):
+            ch = AMINO_ALPHA[l1] if f == 0 else chr(ord("A") + l1)
+            out.append("%d\t%s\t" % (l1, ch) + "\t".join(
+                "%.6g" % ms.log_odds_mx[f][l1, l2]
+                for l2 in range(l1 + 1)))
+    for p, (label, prof) in enumerate(zip(ms.labels, ms.profiles)):
+        out.append("chain\t%d\t%s\t%d" % (p, label, prof.shape[0]))
+        for pos in range(prof.shape[0]):
+            syms = []
+            for f in range(f_count):
+                if f == 0:
+                    syms.append(AMINO_ALPHA[prof[pos, 0]])
+                else:
+                    syms.append(chr(ord("A") + prof[pos, f]))
+            out.append("%d\t%d\t%s" % (p, pos, "".join(syms)))
+    with open(path, "w") as fh:
+        fh.write("\n".join(out) + "\n")

@@ -71,7 +71,15 @@ def _cc_rung(x: int) -> int:
     return _round_up(x, 1024)
 
 
+_JITS = None
+
+
 def _build_jit():
+    """Module-level jit singletons (a per-instance jit would re-trace
+    for every family/join even at identical shapes)."""
+    global _JITS
+    if _JITS is not None:
+        return _JITS
     import jax
     import jax.numpy as jnp
 
@@ -143,7 +151,45 @@ def _build_jit():
         post = out + out2.T
         return _mea_dirs(post, cc2_idx)
 
-    return build_and_mea
+    @partial(jax.jit, static_argnames=("k2", "cc_r", "cc_c", "chunk"))
+    def list_build_and_mea(sv, sc, pid, ro, co, rmap, cmap, cc2_idx,
+                           k2, cc_r, cc_c, chunk):
+        """Sampled-pair variant (PProg): pairs come as an explicit list
+        (pid[p] store row, ro[p] row-owner, co[p] col-owner), all in
+        the (msa1-row, msa2-row) orientation — a dense grid would be
+        ~n1*n2/|sampled| x wasted work at PProg's 2000-pair sampling."""
+        n_r, l = rmap.shape
+        iota_c = jnp.arange(cc_c)
+        p2 = pid.shape[0]
+
+        def body(i, f_acc):
+            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i * chunk,
+                                                        chunk)
+            pid_c = sl(pid)
+            vals = sv[pid_c, :, :k2]
+            cols = sc[pid_c, :, :k2]
+            cm = cmap[sl(co)]
+            mapped = jnp.where(
+                cols >= 0,
+                jax.vmap(lambda m, c: m[jnp.maximum(c, 0)])(cm, cols),
+                -1)
+            e = jnp.zeros((chunk, l, cc_c), jnp.float32)
+            for k in range(k2):
+                e = e + vals[:, :, k:k + 1] * \
+                    (mapped[:, :, k:k + 1] == iota_c[None, None, :])
+            return f_acc.at[sl(ro)].add(e)
+
+        f = jax.lax.fori_loop(
+            0, p2 // chunk, body, jnp.zeros((n_r, l, cc_c), jnp.float32))
+        a = jax.nn.one_hot(rmap, cc_r, dtype=jnp.float32)
+        post = jax.lax.dot_general(
+            a.reshape(n_r * l, cc_r), f.reshape(n_r * l, cc_c),
+            (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)
+        return _mea_dirs(post, cc2_idx)
+
+    _JITS = (build_and_mea, list_build_and_mea)
+    return _JITS
 
 
 class DeviceJoiner:
@@ -169,7 +215,7 @@ class DeviceJoiner:
         for i, (x, y) in enumerate(pairs):
             pm[x, y] = i
         self.pair_mx = pm
-        self._fn = _build_jit()
+        self._fn = _build_jit()[0]
 
     def _maps(self, msa: MultiSequence, n_pad: int):
         """(store indices (n_pad,), pos->col bank (n_pad, L) int32)."""
@@ -216,31 +262,79 @@ class DeviceJoiner:
             self.k2, ccp, ccp)
         packed = np.asarray(packed[:cc1, :])
         score = float(np.asarray(scores[cc1 - 1])) if cc1 else 0.0
+        return score, _walk(packed, cc1, cc2)
 
-        # unpack 2-bit dirs and walk (host; O(cc1+cc2))
-        shifts = 2 * np.arange(16, dtype=np.int32)
-        dirs = ((packed[:, :, None] >> shifts[None, None, :]) & 3
-                ).reshape(cc1, -1)[:, :cc2]
-        path = []
-        i, j = cc1, cc2
-        while i > 0 or j > 0:
-            if i == 0:
-                path.append("Y")
+
+def _walk(packed: np.ndarray, cc1: int, cc2: int) -> str:
+    """Unpack 2-bit direction codes and trace the path (host;
+    O(cc1+cc2); same traversal as ops/mea.py traceback)."""
+    shifts = 2 * np.arange(16, dtype=np.int32)
+    dirs = ((packed[:, :, None] >> shifts[None, None, :]) & 3
+            ).reshape(cc1, -1)[:, :cc2]
+    path = []
+    i, j = cc1, cc2
+    while i > 0 or j > 0:
+        if i == 0:
+            path.append("Y")
+            j -= 1
+        elif j == 0:
+            path.append("X")
+            i -= 1
+        else:
+            d = dirs[i - 1, j - 1]
+            if d == 0:
+                path.append("B")
+                i -= 1
                 j -= 1
-            elif j == 0:
+            elif d == 1:
                 path.append("X")
                 i -= 1
             else:
-                d = dirs[i - 1, j - 1]
-                if d == 0:
-                    path.append("B")
-                    i -= 1
-                    j -= 1
-                elif d == 1:
-                    path.append("X")
-                    i -= 1
-                else:
-                    path.append("Y")
-                    j -= 1
-        path.reverse()
-        return score, "".join(path)
+                path.append("Y")
+                j -= 1
+    path.reverse()
+    return "".join(path)
+
+
+def align_sampled_device(store_v, store_c, sampled, msa1, msa2,
+                         max_nnz: int) -> tuple[float, str]:
+    """(score, path) for a PProg profile-profile join from a device
+    store of SAMPLED row pairs: store row k holds the posterior of
+    (msa1 row sampled[k][0], msa2 row sampled[k][1]) in that
+    orientation. Only packed 2-bit directions cross the host link."""
+    import jax.numpy as jnp
+    _, list_fn = _build_jit()
+    n1, n2 = len(msa1), len(msa2)
+    cc1 = msa1.col_count()
+    cc2 = msa2.col_count()
+    l = store_v.shape[1]
+    k2 = min(store_v.shape[2], max(8, -(-int(max_nnz) // 8) * 8))
+    ccp = _cc_rung(max(cc1, cc2, 16))
+    n1p = _pow2_rung(n1)
+    n2p = _pow2_rung(n2)
+    chunk = 64
+    p2 = _pow2_rung(len(sampled), chunk)
+    dump = store_v.shape[0] - 1
+
+    pid = np.full(p2, dump, np.int32)
+    ro = np.zeros(p2, np.int32)
+    co = np.zeros(p2, np.int32)
+    pid[:len(sampled)] = np.arange(len(sampled))
+    ro[:len(sampled)] = [i for i, _ in sampled]
+    co[:len(sampled)] = [j for _, j in sampled]
+
+    def bank(msa, n_pad):
+        b = np.zeros((n_pad, l), np.int32)
+        for i, s in enumerate(msa):
+            p = s.pos_to_col()
+            b[i, :len(p)] = p
+        return b
+
+    packed, scores = list_fn(
+        store_v, store_c, jnp.asarray(pid), jnp.asarray(ro),
+        jnp.asarray(co), jnp.asarray(bank(msa1, n1p)),
+        jnp.asarray(bank(msa2, n2p)), jnp.asarray(np.int32(cc2)),
+        k2, ccp, ccp, chunk)
+    packed = np.asarray(packed[:cc1, :])
+    score = float(np.asarray(scores[cc1 - 1])) if cc1 else 0.0
+    return score, _walk(packed, cc1, cc2)

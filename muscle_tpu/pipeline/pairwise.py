@@ -39,6 +39,16 @@ class PairAligner:
             batch_size=self.batch_size, with_mea=with_mea,
             backend=self.backend)
 
+    def sparse_store(self, pairs: list[tuple[int, int]]):
+        """Device-resident sparse store for the given pairs:
+        (vals, cols, ea_np, max_nnz). Row k of the store is pair k in
+        the given orientation (x rows, y cols); the trailing rows are
+        zero padding + the dump slot. Feed to devjoin for on-device
+        profile joins — nothing but EA scores crosses the host link."""
+        return post_mod.all_pairs_posteriors_sparse(
+            self.codes, self.lens, self.pack, pairs,
+            batch_size=self.batch_size, backend=self.backend)
+
     def csr_posteriors(self, pairs: list[tuple[int, int]]):
         """Packed CSR posteriors: ([(vals, cols, rowptr)] per pair,
         ea (P,)). Only the true nnz crosses the device->host link (the

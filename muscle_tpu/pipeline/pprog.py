@@ -22,6 +22,18 @@ from .pairwise import PairAligner
 DEFAULT_TARGET_PAIR_COUNT = 2000   # reference: src/pprog.h:5
 
 
+def _device_joins(n_sampled: int) -> bool:
+    """Whether PProg profile joins run on device (devjoin). Same knob
+    as MPC refinement: MUSCLE_TPU_DEVICE_REFINE=1/0 forces it; by
+    default joins with enough sampled pairs to amortize the dispatch
+    go to the device."""
+    import os
+    v = os.environ.get("MUSCLE_TPU_DEVICE_REFINE")
+    if v in ("0", "1"):
+        return v == "1"
+    return n_sampled >= 64
+
+
 def get_pairs(count1: int, count2: int, target: int,
               rng: MwcRng) -> list[tuple[int, int]]:
     """reference: GetPairs (src/getpairs.cpp:33-69)."""
@@ -131,6 +143,19 @@ class PProg:
         cc1, cc2 = msa1.col_count(), msa2.col_count()
         sampled = get_pairs(n1, n2, self.target, rng)
         gpairs = self._gpairs(msa1, msa2, sampled)
+
+        store_fn = getattr(self.aligner, "sparse_store", None)
+        if store_fn is not None and _device_joins(len(sampled)):
+            # device path: posterior store stays on device; the column
+            # posterior + MEA direction DP run there (devjoin) and only
+            # packed directions + EA scores come back
+            from .devjoin import align_sampled_device
+            sv, sc, eas, max_nnz = store_fn(gpairs)
+            avg_ea = float(np.mean(eas)) if len(eas) else 0.0
+            _, path = align_sampled_device(sv, sc, sampled, msa1, msa2,
+                                           max_nnz)
+            return avg_ea, path
+
         views, eas = self.aligner.csr_posteriors(gpairs)
         avg_ea = float(np.mean(eas)) if len(eas) else 0.0
 

@@ -173,11 +173,20 @@ class MegaPProg(PProg):
                     pairs, return_post=False)
                 return eas
 
-            def sparse_posteriors(inner, pairs):
+            def sparse_store(inner, pairs):
+                return post_mod.all_pairs_posteriors_mega_sparse(
+                    self._profiles, self._lens, self.mega, self.pack,
+                    pairs)
+
+            def csr_posteriors(inner, pairs):
                 sv, sc, eas, _ = post_mod.all_pairs_posteriors_mega_sparse(
                     self._profiles, self._lens, self.mega, self.pack,
                     pairs)
-                p = len(pairs)
-                return np.asarray(sv)[:p], np.asarray(sc)[:p], eas
+                flat_v, flat_c, nnz = post_mod.fetch_store_csr(
+                    sv, sc, self._profiles.shape[1])
+                views = post_mod.csr_views(
+                    flat_v, flat_c, nnz, len(pairs),
+                    lambda i: int(self._lens[pairs[i][0]]))
+                return views, eas
 
         super().__init__(_A(), {s.label: i for i, s in enumerate(seqs)}, **kw)

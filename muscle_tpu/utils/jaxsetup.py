@@ -24,6 +24,13 @@ def setup_jax() -> None:
         os.path.join(os.path.expanduser("~"), ".cache", "muscle_tpu_jax"))
     if cache_dir and cache_dir != "0":
         try:
+            # per-platform subdir: the CPU client otherwise loads AOT
+            # results compiled for the (different) TPU-host CPU — wrong
+            # machine features risk SIGILL and spam warnings. Read the
+            # env hint rather than jax.default_backend() so the backend
+            # is not initialized early.
+            platform = os.environ.get("JAX_PLATFORMS") or "device"
+            cache_dir = os.path.join(cache_dir, platform.split(",")[0])
             os.makedirs(cache_dir, exist_ok=True)
             jax.config.update("jax_compilation_cache_dir", cache_dir)
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

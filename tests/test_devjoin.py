@@ -48,6 +48,38 @@ def test_device_refine_matches_host():
             a.label
 
 
+def test_pprog_device_join_matches_host():
+    """PProg's sampled-pair device join (align_sampled_device) vs the
+    host CSR accumulate + native MEA, on real posteriors, forcing both
+    paths via the env knob."""
+    from muscle_tpu.alphabet import ALPHA_AMINO
+    from muscle_tpu.hmm.params import HMMParams
+    from muscle_tpu.pipeline.pairwise import PairAligner
+    from muscle_tpu.pipeline.pprog import PProg
+    from muscle_tpu.sequence import MultiSequence
+    from muscle_tpu.utils.rng import MwcRng
+
+    seqs = _family(n=12, seed=9)
+    pack = HMMParams.from_defaults().to_scores()
+    aligner = PairAligner(list(seqs), pack, ALPHA_AMINO)
+    l2g = {s.label: i for i, s in enumerate(seqs)}
+    msas = [MultiSequence([s]) for s in seqs]
+    out = {}
+    for flag in ("0", "1"):
+        os.environ["MUSCLE_TPU_DEVICE_REFINE"] = flag
+        try:
+            pp = PProg(aligner, l2g, target_pair_count=2000,
+                       rng=MwcRng(1))
+            out[flag] = pp.run(list(msas))
+        finally:
+            del os.environ["MUSCLE_TPU_DEVICE_REFINE"]
+    a, b = out["0"], out["1"]
+    assert a.labels() == b.labels()
+    for x, y in zip(a, b):
+        assert x.bytes_view().tobytes() == y.bytes_view().tobytes(), \
+            x.label
+
+
 def test_joiner_align_matches_align_alns():
     """Single-join check on real MPC posteriors, including the
     transposed-orientation grid."""
