@@ -83,36 +83,93 @@ def _build_jit():
     import jax
     import jax.numpy as jnp
 
+    from jax.experimental import pallas as pl
+
+    def _dr_kernel(k2, tc, per_pair_imap, v_ref, c_ref, i_ref, o_ref):
+        """Densify-reduce block: o[s, :, c0:c0+tc] += one pair's
+        compare-accumulate. Grid (n_r, cc_tiles, n_c) with t innermost,
+        so the (L, tc) output block stays resident in VMEM across the
+        whole t reduction.
+
+        The column mapping uses the INVERSE map: pos_to_col is strictly
+        increasing, so `pos_to_col[col] == c  <=>  col == col_to_pos[c]`
+        — the compare runs against the tiny (tc,) inverse-map block
+        instead of a pre-gathered (.., L, k2) mapped tensor (the XLA
+        table gather measured 2.4 s/call; empty slots carry vals == 0,
+        so -1 == -1 false matches contribute exact zeros)."""
+        t = pl.program_id(2)
+        # inverse-map row for this pair's col-owner: the bank is small
+        # and fully VMEM-resident; dynamic sublane index + the block's
+        # lane window select the (1, tc) slice
+        row = pl.program_id(0) if per_pair_imap else t
+        c0 = pl.program_id(1) * tc
+        inv = i_ref[row, pl.dslice(c0, tc)].reshape(1, tc)
+        acc = v_ref[0, 0, :, 0:1] * (c_ref[0, 0, :, 0:1] == inv)
+        for k in range(1, k2):
+            acc = acc + v_ref[0, 0, :, k:k + 1] * \
+                (c_ref[0, 0, :, k:k + 1] == inv)
+
+        @pl.when(t == 0)
+        def _():
+            o_ref[0] = acc
+
+        @pl.when(t > 0)
+        def _():
+            o_ref[0] = o_ref[0] + acc
+
+    def _densify_reduce(vals, cols, imap, cc_c, k2,
+                        per_pair_imap=False):
+        """(W, n_c, L, k2) sparse slots -> (W, L, cc_c) dense panels
+        summed over n_c, columns mapped through the inverse maps.
+
+        imap: (n_c, cc_c) col->pos per col-owner row (per_pair_imap
+        False), or (W, cc_c) one inverse map per W entry (True — the
+        sampled-pair list variant where n_c == 1)."""
+        w, n_c, l, _ = vals.shape
+        tc = min(512, cc_c)
+        i_spec = pl.BlockSpec(imap.shape, lambda s, c, t: (0, 0))
+        return pl.pallas_call(
+            partial(_dr_kernel, k2, tc, per_pair_imap),
+            grid=(w, cc_c // tc, n_c),
+            in_specs=[
+                pl.BlockSpec((1, 1, l, k2), lambda s, c, t: (s, t, 0, 0)),
+                pl.BlockSpec((1, 1, l, k2), lambda s, c, t: (s, t, 0, 0)),
+                i_spec,
+            ],
+            out_specs=pl.BlockSpec((1, l, tc), lambda s, c, t: (s, 0, c)),
+            out_shape=jax.ShapeDtypeStruct((w, l, cc_c), jnp.float32),
+            interpret=jax.default_backend() == "cpu",
+        )(vals, cols, imap)
+
+    # s-wave width: bounds the gathered (w, n_c, L, k2) slot panels in
+    # HBM (~50 MB per s-row at n_c=512/L=512/k2=24)
+    _WAVE = 16
+
     @partial(jax.jit,
              static_argnames=("k2", "cc_r", "cc_c"))
-    def _half(sv, sc, pid, rmap, cmap, k2, cc_r, cc_c):
+    def _half(sv, sc, pid, rmap, imap_c, k2, cc_r, cc_c):
         """sum_{(r_row, c_col) in grid} onehot(rmap)^T @ densify(...).
 
         sv/sc: (P+1, L, K) store (last row = all-zero dump slot);
         pid: (n_r, n_c) int32 pair indices (dump for absent pairs);
         rmap: (n_r, L) int32 pos->col of the row-owner rows;
-        cmap: (n_c, L) int32 pos->col of the col-owner rows.
+        imap_c: (n_c, cc_c) int32 col->pos of the col-owner rows.
         Returns (cc_r, cc_c) f32.
         """
         n_r, n_c = pid.shape
         l = sv.shape[1]
-        iota_c = jnp.arange(cc_c)
+        w = min(_WAVE, n_r)
 
-        def body(s, f_acc):
-            vals = sv[pid[s], :, :k2]          # (n_c, L, k2)
-            cols = sc[pid[s], :, :k2]
-            mapped = jnp.where(
-                cols >= 0,
-                jax.vmap(lambda cm, c: cm[jnp.maximum(c, 0)])(cmap, cols),
-                -1)
-            e = jnp.zeros((n_c, l, cc_c), jnp.float32)
-            for k in range(k2):
-                e = e + vals[:, :, k:k + 1] * \
-                    (mapped[:, :, k:k + 1] == iota_c[None, None, :])
-            return f_acc.at[s].set(e.sum(axis=0))
+        def body(i, f_acc):
+            pid_w = jax.lax.dynamic_slice_in_dim(pid, i * w, w)
+            vals = sv[pid_w, :, :k2]           # (w, n_c, L, k2)
+            cols = sc[pid_w, :, :k2]
+            f_w = _densify_reduce(vals, cols, imap_c, cc_c, k2)
+            return jax.lax.dynamic_update_slice_in_dim(f_acc, f_w,
+                                                       i * w, axis=0)
 
         f = jax.lax.fori_loop(
-            0, n_r, body, jnp.zeros((n_r, l, cc_c), jnp.float32))
+            0, n_r // w, body, jnp.zeros((n_r, l, cc_c), jnp.float32))
         a = jax.nn.one_hot(rmap, cc_r, dtype=jnp.float32)  # (n_r, L, cc_r)
         return jax.lax.dot_general(
             a.reshape(n_r * l, cc_r), f.reshape(n_r * l, cc_c),
@@ -152,14 +209,14 @@ def _build_jit():
         return _mea_dirs(post, cc2_idx)
 
     @partial(jax.jit, static_argnames=("k2", "cc_r", "cc_c", "chunk"))
-    def list_build_and_mea(sv, sc, pid, ro, co, rmap, cmap, cc2_idx,
+    def list_build_and_mea(sv, sc, pid, ro, co, rmap, imap_c, cc2_idx,
                            k2, cc_r, cc_c, chunk):
         """Sampled-pair variant (PProg): pairs come as an explicit list
         (pid[p] store row, ro[p] row-owner, co[p] col-owner), all in
         the (msa1-row, msa2-row) orientation — a dense grid would be
-        ~n1*n2/|sampled| x wasted work at PProg's 2000-pair sampling."""
+        ~n1*n2/|sampled| x wasted work at PProg's 2000-pair sampling.
+        imap_c: (n2p, cc_c) col->pos inverse maps of the msa2 rows."""
         n_r, l = rmap.shape
-        iota_c = jnp.arange(cc_c)
         p2 = pid.shape[0]
 
         def body(i, f_acc):
@@ -168,15 +225,9 @@ def _build_jit():
             pid_c = sl(pid)
             vals = sv[pid_c, :, :k2]
             cols = sc[pid_c, :, :k2]
-            cm = cmap[sl(co)]
-            mapped = jnp.where(
-                cols >= 0,
-                jax.vmap(lambda m, c: m[jnp.maximum(c, 0)])(cm, cols),
-                -1)
-            e = jnp.zeros((chunk, l, cc_c), jnp.float32)
-            for k in range(k2):
-                e = e + vals[:, :, k:k + 1] * \
-                    (mapped[:, :, k:k + 1] == iota_c[None, None, :])
+            imap_p = imap_c[sl(co)]            # (chunk, cc_c) row gather
+            e = _densify_reduce(vals[:, None], cols[:, None], imap_p,
+                                cc_c, k2, per_pair_imap=True)
             return f_acc.at[sl(ro)].add(e)
 
         f = jax.lax.fori_loop(
@@ -217,16 +268,20 @@ class DeviceJoiner:
         self.pair_mx = pm
         self._fn = _build_jit()[0]
 
-    def _maps(self, msa: MultiSequence, n_pad: int):
-        """(store indices (n_pad,), pos->col bank (n_pad, L) int32)."""
+    def _maps(self, msa: MultiSequence, n_pad: int, ccp: int):
+        """(store indices (n_pad,), pos->col bank (n_pad, L) int32,
+        col->pos inverse bank (n_pad, ccp) int32, -1 at gap columns)."""
         idx = np.zeros(n_pad, np.int32)
         bank = np.zeros((n_pad, self.l), np.int32)
+        inv = np.full((n_pad, ccp), -1, np.int32)
         for i, s in enumerate(msa):
             g = self.l2i[s.label]
             idx[i] = g
             p = s.pos_to_col()
             bank[i, :len(p)] = p
-        return idx, bank
+            cp = s.col_to_pos()
+            inv[i, :len(cp)] = cp
+        return idx, bank, inv
 
     def align(self, msa1: MultiSequence, msa2: MultiSequence
               ) -> tuple[float, str]:
@@ -240,8 +295,8 @@ class DeviceJoiner:
         n2p = _pow2_rung(n2)
         ccp = _cc_rung(max(cc1, cc2, 16))
 
-        idx1, bank1 = self._maps(msa1, n1p)
-        idx2, bank2 = self._maps(msa2, n2p)
+        idx1, bank1, inv1 = self._maps(msa1, n1p, ccp)
+        idx2, bank2, inv2 = self._maps(msa2, n2p, ccp)
         # padding rows point at themselves -> pair_mx diag = dump
         g1 = idx1
         g2 = idx2
@@ -256,8 +311,8 @@ class DeviceJoiner:
 
         packed, scores = self._fn(
             self.sv, self.sc,
-            jnp.asarray(pid_n), jnp.asarray(bank1), jnp.asarray(bank2),
-            jnp.asarray(pid_t), jnp.asarray(bank2), jnp.asarray(bank1),
+            jnp.asarray(pid_n), jnp.asarray(bank1), jnp.asarray(inv2),
+            jnp.asarray(pid_t), jnp.asarray(bank2), jnp.asarray(inv1),
             jnp.asarray(np.int32(cc2)),
             self.k2, ccp, ccp)
         packed = np.asarray(packed[:cc1, :])
@@ -323,17 +378,19 @@ def align_sampled_device(store_v, store_c, sampled, msa1, msa2,
     ro[:len(sampled)] = [i for i, _ in sampled]
     co[:len(sampled)] = [j for _, j in sampled]
 
-    def bank(msa, n_pad):
-        b = np.zeros((n_pad, l), np.int32)
-        for i, s in enumerate(msa):
-            p = s.pos_to_col()
-            b[i, :len(p)] = p
-        return b
+    rbank = np.zeros((n1p, l), np.int32)
+    for i, s in enumerate(msa1):
+        p = s.pos_to_col()
+        rbank[i, :len(p)] = p
+    inv2 = np.full((n2p, ccp), -1, np.int32)
+    for i, s in enumerate(msa2):
+        cp = s.col_to_pos()
+        inv2[i, :len(cp)] = cp
 
     packed, scores = list_fn(
         store_v, store_c, jnp.asarray(pid), jnp.asarray(ro),
-        jnp.asarray(co), jnp.asarray(bank(msa1, n1p)),
-        jnp.asarray(bank(msa2, n2p)), jnp.asarray(np.int32(cc2)),
+        jnp.asarray(co), jnp.asarray(rbank),
+        jnp.asarray(inv2), jnp.asarray(np.int32(cc2)),
         k2, ccp, ccp, chunk)
     packed = np.asarray(packed[:cc1, :])
     score = float(np.asarray(scores[cc1 - 1])) if cc1 else 0.0

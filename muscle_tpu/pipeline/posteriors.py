@@ -354,7 +354,8 @@ def _long_rung(v: int) -> int:
     return round_up(v, 512)
 
 
-def _long_pairs_pallas_batch(codes, lens, pack, batch, k):
+def _long_pairs_pallas_batch(codes, lens, pack, batch, k,
+                             transpose_post=False):
     """Up to 8 long pairs through the regular fused Pallas kernels.
 
     The batched path refuses L > LONG_PAIR_THRESHOLD only because a
@@ -386,6 +387,10 @@ def _long_pairs_pallas_batch(codes, lens, pack, batch, k):
     post, ea = batch_posteriors_pallas(
         jnp.asarray(xb), jnp.asarray(yb),
         jnp.asarray(lx), jnp.asarray(ly), *args, tile_p=8)
+    if transpose_post:
+        # pair was computed with x/y swapped to fit the lane cap; the
+        # caller's store is row-major in the ORIGINAL x
+        post = jax.jit(lambda p: p.transpose(0, 2, 1))(post)
     vals, cols, nnz = jax.jit(sp.sparsify, static_argnames=("k",))(
         post, k=k)
     vals = np.asarray(vals)
@@ -414,22 +419,33 @@ def _long_pairs_sparse(codes, lens, pack, pairs, k):
                 <= _LONG_PALLAS_CELL_BUDGET)
 
     # group Pallas-eligible pairs by their (px, py) ladder rectangle so
-    # batches share one compile shape and fill the 8 lanes with real work
+    # batches share one compile shape and fill the 8 lanes with real
+    # work. The VMEM lane cap binds only the Y axis, so pairs whose
+    # SHORTER side exceeds it are computed TRANSPOSED (x<->y swapped;
+    # the posterior transposes back on device, EA is symmetric) —
+    # extending the fast path to every pair with min(Lx, Ly) <= cap
+    # (e.g. 21k x 9.8k; the reference binary itself dies past
+    # Lx*Ly*5 > INT_MAX, src/calcpost.cpp:8-9)
     from collections import defaultdict
-    groups: dict[tuple[int, int], list[int]] = defaultdict(list)
+    groups: dict[tuple[int, int, bool], list[int]] = defaultdict(list)
     scan_idx = []
     for i, (x, y) in enumerate(pairs):
         if use_pallas and fits(x, y):
-            key = (_long_rung(int(lens[x])), _long_rung(int(lens[y])))
-            groups[key].append(i)
+            groups[(_long_rung(int(lens[x])), _long_rung(int(lens[y])),
+                    False)].append(i)
+        elif use_pallas and fits(y, x):
+            groups[(_long_rung(int(lens[y])), _long_rung(int(lens[x])),
+                    True)].append(i)
         else:
             scan_idx.append(i)
 
-    for key, idxs in groups.items():
+    for (px, py, swapped), idxs in groups.items():
         for lo in range(0, len(idxs), 8):
             ch = idxs[lo:lo + 8]
+            batch = [pairs[t][::-1] if swapped else pairs[t]
+                     for t in ch]
             results = _long_pairs_pallas_batch(
-                codes, lens, pack, [pairs[t] for t in ch], k)
+                codes, lens, pack, batch, k, transpose_post=swapped)
             for i, (vals, cols, ea_p, nnz) in zip(ch, results):
                 x = pairs[i][0]
                 sv[i, :lens[x]] = vals[:lens[x]]
@@ -573,15 +589,25 @@ def fetch_store_csr(store_v, store_c, pad_to: int):
     compute rowptr from the nnz counts). Only real entries cross the
     host link — the fixed-K padding never leaves the device.
     """
+    import time as _time
     from ..ops import sparse as sp
+    from ..utils import logging as mlog
+    t0 = _time.perf_counter()
     nnz_dev, total_dev = sp.store_nnz(store_c)
     total = int(total_dev)
+    t1 = _time.perf_counter()
     ctype = jnp.int16 if pad_to < (1 << 15) else jnp.int32
     flat_v, flat_c = sp.pack_store(store_v, store_c, sp.pack_cap(total),
                                    ctype)
+    flat_v.block_until_ready()
+    t2 = _time.perf_counter()
     flat_v = np.asarray(flat_v)[:total]
     flat_c = np.asarray(flat_c)[:total].astype(np.int32)
     nnz_np = np.asarray(nnz_dev.astype(jnp.uint8)).astype(np.int64)
+    t3 = _time.perf_counter()
+    mlog.log("fetch_csr: nnz=%d (%.1f MB) count %.2fs pack %.2fs "
+             "fetch %.2fs", total, total * 6 / 1e6, t1 - t0, t2 - t1,
+             t3 - t2)
     return flat_v, flat_c, nnz_np
 
 

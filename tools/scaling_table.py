@@ -31,6 +31,10 @@ def main():
     from muscle_tpu.utils.jaxsetup import setup_jax
     setup_jax()
     import jax
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # sitecustomize may force-register the TPU plugin and overwrite
+        # jax_platforms (same dance as tests/conftest.py)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from muscle_tpu.hmm.params import HMMParams
     from muscle_tpu.parallel.mesh import make_mesh, sharded_batch_posteriors
