@@ -105,6 +105,7 @@ def run_replicates_batched(seqs: MultiSequence, reps, load_hp, alpha: str,
                     sv = consistency_sparse(sv, sc, n, consiters,
                                             seq_block=seq_block,
                                             max_nnz=min(int(max_nnz), 32))
+                    np.asarray(sv.ravel()[-1:])   # drain for honest wall
             with mlog.stage("store-fetch"):
                 posts = post_mod.posts_from_store(sv, sc, pairs, lens,
                                                   pad_to)

@@ -192,6 +192,9 @@ class MPC:
                     seq_block=seq_block,
                     precision=self.consistency_precision,
                     max_nnz=min(int(max_nnz), self.sparse_k))
+                # drain the async dispatch queue so the stage wall is
+                # attributed here, not to the next sync (the fetch)
+                np.asarray(store_v.ravel()[-1:])
         # single bulk device->host fetch of the sparse store in PACKED
         # CSR form: only the true nnz crosses the link (measured ~5-6
         # mean entries/row vs K=32 slots => ~5x fewer bytes; the
