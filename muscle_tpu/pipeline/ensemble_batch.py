@@ -101,10 +101,12 @@ def run_replicates_batched(seqs: MultiSequence, reps, load_hp, alpha: str,
             if n >= 3 and consiters > 0:
                 from ..ops.consistency import consistency_sparse
                 seq_block = max(1, min(16, 16384 // pad_to))
+                from .mpc import consistency_precision_for
                 with mlog.stage("consistency"):
-                    sv = consistency_sparse(sv, sc, n, consiters,
-                                            seq_block=seq_block,
-                                            max_nnz=min(int(max_nnz), 32))
+                    sv = consistency_sparse(
+                        sv, sc, n, consiters, seq_block=seq_block,
+                        precision=consistency_precision_for(n),
+                        max_nnz=min(int(max_nnz), 32))
                     np.asarray(sv.ravel()[-1:])   # drain for honest wall
             with mlog.stage("store-fetch"):
                 posts = post_mod.posts_from_store(sv, sc, pairs, lens,

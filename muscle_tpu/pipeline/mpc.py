@@ -32,6 +32,27 @@ DEFAULT_CONSISTENCY_ITERS = 2   # reference: src/pairhmm.h:8
 DEFAULT_REFINE_ITERS = 100      # reference: src/pairhmm.h:9
 
 
+def consistency_precision_for(n: int, requested: str = "auto") -> str:
+    """MXU precision of the consistency matmuls.
+
+    'auto' keeps full-f32 (HIGHEST, 6-pass bf16 emulation) on small
+    families — the regime where column-identity with the reference
+    binary is pinned by the golden tier — and drops to single-pass
+    bf16 on scale configs (n >= 64), measured 4x faster per iteration
+    (88.5 -> 22.3 s at N=200/L=512 on chip) with posterior products
+    perturbed ~0.4% before the O(N) z-averaging; the consistency
+    transform is itself a heuristic averaging step, and the scale
+    tiers claim Q-quality, not bit-parity. Override:
+    MUSCLE_TPU_CONS_PRECISION=highest|default|high."""
+    import os
+    env = os.environ.get("MUSCLE_TPU_CONS_PRECISION")
+    if env:
+        return env
+    if requested != "auto":
+        return requested
+    return "highest" if n < 64 else "default"
+
+
 def device_refine(n: int) -> bool:
     """Whether refinement joins run on device (pipeline/devjoin.py).
 
@@ -58,7 +79,7 @@ class MPC:
                  mega=None,
                  random_chain_tree: bool = False,
                  sparse_k: int = 32,
-                 consistency_precision: str = "highest"):
+                 consistency_precision: str = "auto"):
         self.consistency_iters = consistency_iters
         self.refine_iters = refine_iters
         self.tree_perm = tree_perm
@@ -190,7 +211,8 @@ class MPC:
                 store_v = consistency_sparse(
                     store_v, store_c, n, self.consistency_iters,
                     seq_block=seq_block,
-                    precision=self.consistency_precision,
+                    precision=consistency_precision_for(
+                        n, self.consistency_precision),
                     max_nnz=min(int(max_nnz), self.sparse_k))
                 # drain the async dispatch queue so the stage wall is
                 # attributed here, not to the next sync (the fetch)
