@@ -56,10 +56,9 @@ REF_SUPER5_512_WALL_S = float(os.environ.get("MUSCLE_TPU_REF_S5", 583.0))
 # from the measured 200-seq wall => 3514 s * (1000*999)/(200*199) = 88.2 ks.
 REF_MPC1000_WALL_S = float(os.environ.get("MUSCLE_TPU_REF_MPC1000",
                                           REF_MPC200_WALL_S * 25.1))
-# measured 2026-08-21: -super7 synth1024.mega -distmxin (2 cores); see
-# tools/make_big_mega.py + docs/PARITY.md (value refreshed by
-# tools/measure_ref_baseline recipe; env-overridable)
-REF_SUPER7_1K_WALL_S = float(os.environ.get("MUSCLE_TPU_REF_S7", 0.0))
+# measured 2026-08-21: -super7 synth1024.mega -distmxin synth1024.distmx
+# (2 cores, /tmp/refbuild/muscle): 90m41s. Inputs: tools/make_big_mega.py
+REF_SUPER7_1K_WALL_S = float(os.environ.get("MUSCLE_TPU_REF_S7", 5441.0))
 
 
 def emit(metric, value, unit, vs_baseline):

@@ -351,40 +351,60 @@ def _walk(packed: np.ndarray, cc1: int, cc2: int) -> str:
     return "".join(path)
 
 
+# devjoin list-variant memory guard: the F accumulator is
+# (n_rows, L, ccp) f32 — beyond this the host CSR path wins anyway
+_LIST_F_BUDGET = 2 << 30
+
+
 def align_sampled_device(store_v, store_c, sampled, msa1, msa2,
-                         max_nnz: int) -> tuple[float, str]:
+                         max_nnz: int):
     """(score, path) for a PProg profile-profile join from a device
     store of SAMPLED row pairs: store row k holds the posterior of
     (msa1 row sampled[k][0], msa2 row sampled[k][1]) in that
-    orientation. Only packed 2-bit directions cross the host link."""
+    orientation. Only packed 2-bit directions cross the host link.
+    Returns None when the padded accumulator would blow the HBM budget
+    (caller falls back to the host path).
+
+    Compile-shape discipline: rows are COMPACTED to those actually
+    sampled and padded on coarse pow2 rungs (min 128) — PProg joins
+    come in every size, and each fresh (rows, cols, cc) combination is
+    a fresh multi-second XLA compile on the chip."""
     import jax.numpy as jnp
     _, list_fn = _build_jit()
-    n1, n2 = len(msa1), len(msa2)
     cc1 = msa1.col_count()
     cc2 = msa2.col_count()
     l = store_v.shape[1]
     k2 = min(store_v.shape[2], max(8, -(-int(max_nnz) // 8) * 8))
     ccp = _cc_rung(max(cc1, cc2, 16))
-    n1p = _pow2_rung(n1)
-    n2p = _pow2_rung(n2)
+
+    # compact row/col banks to sampled rows only (a 2000-pair sample of
+    # a 2000x2000-row join touches <= 2000 rows per side, not 2000^2)
+    rows1 = sorted({i for i, _ in sampled})
+    rows2 = sorted({j for _, j in sampled})
+    r1_of = {r: i for i, r in enumerate(rows1)}
+    r2_of = {r: i for i, r in enumerate(rows2)}
+    n1p = _pow2_rung(len(rows1), 128)
+    n2p = _pow2_rung(len(rows2), 128)
+    if n1p * l * ccp * 4 > _LIST_F_BUDGET:
+        return None
     chunk = 64
-    p2 = _pow2_rung(len(sampled), chunk)
+    p2 = _pow2_rung(len(sampled), 256)
     dump = store_v.shape[0] - 1
 
     pid = np.full(p2, dump, np.int32)
     ro = np.zeros(p2, np.int32)
     co = np.zeros(p2, np.int32)
     pid[:len(sampled)] = np.arange(len(sampled))
-    ro[:len(sampled)] = [i for i, _ in sampled]
-    co[:len(sampled)] = [j for _, j in sampled]
+    ro[:len(sampled)] = [r1_of[i] for i, _ in sampled]
+    co[:len(sampled)] = [r2_of[j] for _, j in sampled]
 
     rbank = np.zeros((n1p, l), np.int32)
-    for i, s in enumerate(msa1):
-        p = s.pos_to_col()
+    for i, r in enumerate(rows1):
+        p = msa1[r].pos_to_col()
         rbank[i, :len(p)] = p
     inv2 = np.full((n2p, ccp), -1, np.int32)
-    for i, s in enumerate(msa2):
-        cp = s.col_to_pos()
+    for i, r in enumerate(rows2):
+        cp = msa2[r].col_to_pos()
         inv2[i, :len(cp)] = cp
 
     packed, scores = list_fn(

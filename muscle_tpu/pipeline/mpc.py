@@ -172,6 +172,14 @@ class MPC:
         from ..utils import logging as mlog
         mlog.log("MPC: %d unique seqs, %d pairs, pad %d", n, len(pairs),
                  pad_to)
+        precision = consistency_precision_for(
+            n, self.consistency_precision)
+        # small families (Super4/Super7 clusters and shrubs, BB-scale
+        # inputs): ONE-DISPATCH dense pair stage + consistency —
+        # per-wave dispatch/compile overhead of the blocked-sparse
+        # machinery dominates at this size (see small_family_store)
+        use_dense = (n >= 3 and self.consistency_iters > 0
+                     and n * pad_to <= post_mod.SMALL_DENSE_NL)
         if self.mega is not None:
             # Muscle-3D: emissions from feature profiles, matched by label
             # (reference: MPCFlat_mega, src/mpcflat_mega.cpp)
@@ -181,29 +189,47 @@ class MPC:
             profs = [prof_by_label[s.label] for s in unique]
             lens = np.array([p.shape[0] for p in profs], dtype=np.int32)
             profiles = pad_profiles(profs, pad_to)
-            store_v, store_c, ea, max_nnz = \
-                post_mod.all_pairs_posteriors_mega_sparse(
-                    profiles, lens, self.mega, pack, pairs,
-                    batch_size=self.batch_size, k=self.sparse_k)
+            with mlog.stage("posteriors+consistency" if use_dense
+                            else "posteriors"):
+                if use_dense:
+                    store_v, store_c, ea, max_nnz = \
+                        post_mod.small_family_store(
+                            profiles, lens, pack, pairs, n,
+                            self.sparse_k, self.consistency_iters,
+                            precision, mega=self.mega)
+                else:
+                    store_v, store_c, ea, max_nnz = \
+                        post_mod.all_pairs_posteriors_mega_sparse(
+                            profiles, lens, self.mega, pack, pairs,
+                            batch_size=self.batch_size, k=self.sparse_k)
         else:
             codes, lens = post_mod.encode_batch(unique, alpha, pad_to=pad_to)
-            with mlog.stage("posteriors"):
-                store_v, store_c, ea, max_nnz = \
-                    post_mod.all_pairs_posteriors_sparse(
-                        codes, lens, pack, pairs,
-                        batch_size=self.batch_size, k=self.sparse_k)
+            with mlog.stage("posteriors+consistency" if use_dense
+                            else "posteriors"):
+                if use_dense:
+                    store_v, store_c, ea, max_nnz = \
+                        post_mod.small_family_store(
+                            codes, lens, pack, pairs, n, self.sparse_k,
+                            self.consistency_iters, precision)
+                else:
+                    store_v, store_c, ea, max_nnz = \
+                        post_mod.all_pairs_posteriors_sparse(
+                            codes, lens, pack, pairs,
+                            batch_size=self.batch_size, k=self.sparse_k)
         if max_nnz > self.sparse_k:
             from ..utils.logging import log
             log(f"sparse posterior truncation: max row nnz {max_nnz} > "
                 f"K={self.sparse_k}")
         self.dist_mx = post_mod.ea_dist_matrix(n, pairs, ea)
 
-        # guide tree BEFORE consistency (reference: src/mpcflat.cpp:306-310)
+        # guide tree BEFORE consistency (reference: src/mpcflat.cpp:306-310;
+        # the tree uses pre-consistency EA distances in both layouts)
         tree = self._tree_from_dist(labels, self.dist_mx)
         self.guide_tree = tree
 
-        # consistency transform (device, blocked over the sparse store)
-        if n >= 3 and self.consistency_iters > 0:
+        # consistency transform (device, blocked over the sparse store;
+        # the dense small-family path already applied it)
+        if not use_dense and n >= 3 and self.consistency_iters > 0:
             from ..ops.consistency import consistency_sparse
             l = store_v.shape[1]
             seq_block = max(1, min(16, 16384 // l))
@@ -211,8 +237,7 @@ class MPC:
                 store_v = consistency_sparse(
                     store_v, store_c, n, self.consistency_iters,
                     seq_block=seq_block,
-                    precision=consistency_precision_for(
-                        n, self.consistency_precision),
+                    precision=precision,
                     max_nnz=min(int(max_nnz), self.sparse_k))
                 # drain the async dispatch queue so the stage wall is
                 # attributed here, not to the next sync (the fetch)

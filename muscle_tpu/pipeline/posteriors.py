@@ -580,6 +580,92 @@ def ensemble_pairs_posteriors_sparse(codes: np.ndarray, lens: np.ndarray,
     return store_v, store_c, np.asarray(store_ea), int(max_nnz)
 
 
+# Dense small-family threshold: the (n_pad*L)^2 block matrix of the
+# one-dispatch consistency must fit HBM (~1 GB per matrix at 16384^2
+# f32, x3 live)
+SMALL_DENSE_NL = 16384
+
+
+def small_family_store(codes_or_profiles, lens, pack_or_mega, pairs,
+                       n: int, k: int, iters: int, precision: str,
+                       mega=None, backend: str = "auto",
+                       batch_fn=None):
+    """ONE-DISPATCH pair stage + dense consistency + sparsify for small
+    families (n*L <= SMALL_DENSE_NL).
+
+    Super4/Super7 run MPC once per cluster/shrub; at cluster sizes the
+    blocked-sparse machinery's per-wave dispatches and per-shape
+    compiles dominate (measured ~9 s consistency + ~5 s fetch per
+    <=33-seq cluster on the tunneled chip). Here the whole cluster
+    becomes: one batched posterior call -> (n, n, L, L) tensor -> 2
+    dense MXU consistency iterations -> device sparsify — a handful of
+    dispatches on a few compile shapes shared by every cluster.
+
+    Returns (vals (P2, L, K) device, cols, ea (P,) np, max_nnz) in the
+    sparse-store contract (rows beyond P empty; last row is a zero
+    dump slot).
+    """
+    import jax
+    from ..ops import consistency as cons
+    from ..ops import sparse as sp
+
+    n_pairs = len(pairs)
+    l = codes_or_profiles.shape[1]
+    if backend == "auto":
+        backend = default_backend()
+    b = _rung(n_pairs, _chunk_step(backend, 1))
+    full = list(pairs) + [pairs[0]] * (b - n_pairs)
+    xi = np.array([p[0] for p in full])
+    yi = np.array([p[1] for p in full])
+    if batch_fn is None:
+        if mega is not None:
+            run_chunk = _make_mega_chunk_fn(mega, pack_or_mega, True,
+                                            backend)
+            cj = jnp.asarray(codes_or_profiles)
+            lj = jnp.asarray(lens)
+            post, ea = run_chunk(cj[xi], cj[yi], lj[xi], lj[yi])
+        else:
+            fn = _make_batch_fn(l, pack_or_mega, True, backend, None, 1)
+            cj = jnp.asarray(codes_or_profiles)
+            lj = jnp.asarray(lens)
+            from ..utils.devretry import call_with_retry
+            post, ea = call_with_retry(fn, cj[xi], cj[yi], lj[xi],
+                                       lj[yi])
+    else:
+        post, ea = batch_fn(xi, yi)
+
+    n_pad = _rung(n, 4)
+    xi_j = jnp.asarray(xi.astype(np.int32))
+    yi_j = jnp.asarray(yi.astype(np.int32))
+
+    @partial(jax.jit, static_argnames=("n_pad", "iters", "kk", "p_real",
+                                       "prec"))
+    def _cons_sparsify(post, xi, yi, n_real, n_pad, iters, kk, p_real,
+                       prec):
+        t = jnp.zeros((n_pad, n_pad, l, l), jnp.float32)
+        t = t.at[xi, yi].set(post)
+        t = t.at[yi, xi].set(jnp.swapaxes(post, -1, -2))
+        mask = cons.sparsity_mask(t)
+        for _ in range(iters):
+            t = cons.consistency_iter(t, mask, n_real,
+                                      fast=(prec == "default"))
+        out = t[xi, yi]
+        vals, cols_, nnz = sp.sparsify(out, kk)
+        lane = jnp.arange(vals.shape[0])[:, None, None]
+        vals = jnp.where(lane < p_real, vals, 0.0)
+        cols_ = jnp.where(lane < p_real, cols_, -1)
+        return vals, cols_, nnz
+
+    sv, sc, nnz = _cons_sparsify(post, xi_j, yi_j,
+                                 jnp.float32(n), n_pad, iters, k,
+                                 n_pairs, precision)
+    if sv.shape[0] == n_pairs:
+        # guarantee a trailing all-zero dump row for device joiners
+        sv = jnp.pad(sv, ((0, 8), (0, 0), (0, 0)))
+        sc = jnp.pad(sc, ((0, 8), (0, 0), (0, 0)), constant_values=-1)
+    return sv, sc, np.asarray(ea)[:n_pairs], int(nnz)
+
+
 def fetch_store_csr(store_v, store_c, pad_to: int):
     """Fetch a device sparse store as a packed CSR stream.
 

@@ -152,12 +152,21 @@ class PProg:
             from .devjoin import align_sampled_device
             sv, sc, eas, max_nnz = store_fn(gpairs)
             avg_ea = float(np.mean(eas)) if len(eas) else 0.0
-            _, path = align_sampled_device(sv, sc, sampled, msa1, msa2,
-                                           max_nnz)
-            return avg_ea, path
-
-        views, eas = self.aligner.csr_posteriors(gpairs)
-        avg_ea = float(np.mean(eas)) if len(eas) else 0.0
+            r = align_sampled_device(sv, sc, sampled, msa1, msa2,
+                                     max_nnz)
+            if r is not None:
+                return avg_ea, r[1]
+            # over the devjoin HBM budget: fetch this store packed and
+            # accumulate on host (no recompute)
+            from . import posteriors as post_mod
+            flat_v, flat_c, nnz = post_mod.fetch_store_csr(
+                sv, sc, sv.shape[1])
+            views = post_mod.csr_views(
+                flat_v, flat_c, nnz, len(gpairs),
+                lambda t: int(self.aligner.lens[gpairs[t][0]]))
+        else:
+            views, eas = self.aligner.csr_posteriors(gpairs)
+            avg_ea = float(np.mean(eas)) if len(eas) else 0.0
 
         col_post = np.zeros((cc1, cc2), dtype=np.float32)
         ptc1 = {i: msa1[i].pos_to_col() for i in
