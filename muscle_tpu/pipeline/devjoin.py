@@ -160,21 +160,22 @@ def _build_jit():
         l = sv.shape[1]
         w = min(_WAVE, n_r)
 
-        def body(i, f_acc):
+        def body(i, out_acc):
             pid_w = jax.lax.dynamic_slice_in_dim(pid, i * w, w)
             vals = sv[pid_w, :, :k2]           # (w, n_c, L, k2)
             cols = sc[pid_w, :, :k2]
             f_w = _densify_reduce(vals, cols, imap_c, cc_c, k2)
-            return jax.lax.dynamic_update_slice_in_dim(f_acc, f_w,
-                                                       i * w, axis=0)
+            # contract this wave's rows immediately — the full
+            # (n_r, L, cc) F tensor would be GBs at 1k-seq refine
+            rmap_w = jax.lax.dynamic_slice_in_dim(rmap, i * w, w)
+            a_w = jax.nn.one_hot(rmap_w, cc_r, dtype=jnp.float32)
+            return out_acc + jax.lax.dot_general(
+                a_w.reshape(w * l, cc_r), f_w.reshape(w * l, cc_c),
+                (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST)
 
-        f = jax.lax.fori_loop(
-            0, n_r // w, body, jnp.zeros((n_r, l, cc_c), jnp.float32))
-        a = jax.nn.one_hot(rmap, cc_r, dtype=jnp.float32)  # (n_r, L, cc_r)
-        return jax.lax.dot_general(
-            a.reshape(n_r * l, cc_r), f.reshape(n_r * l, cc_c),
-            (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST)
+        return jax.lax.fori_loop(
+            0, n_r // w, body, jnp.zeros((cc_r, cc_c), jnp.float32))
 
     @jax.jit
     def _mea_dirs(post, cc2_idx):

@@ -183,9 +183,11 @@ def refine(msa: MultiSequence, iters: int,
             continue
         m1 = msa.project(g1)
         m2 = msa.project(g2)
-        if joiner is not None:
-            _, path = joiner.align(m1, m2)
-            msa = join_by_path(m1, m2, path)
+        r = joiner.align(m1, m2) if joiner is not None else None
+        if r is not None:
+            msa = join_by_path(m1, m2, r[1])
         else:
+            # no joiner, or the padded device accumulator would blow
+            # the HBM budget — host CSR path
             msa, _ = align_alns(m1, m2, label_to_index, posts)
     return msa
