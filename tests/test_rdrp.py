@@ -40,6 +40,28 @@ def _subset(n=SUBSET_N):
 
 @pytest.mark.slow
 @needs_rdrp
+def test_rdrp_subset_super5_invariants():
+    """CPU-budget Super5 machinery gate: smaller subset, few refine
+    iterations, invariant checks only (VERDICT r3: the full golden
+    config below did not fit a CPU slow-tier budget)."""
+    from muscle_tpu.pipeline.super5 import super5
+
+    seqs = _subset(10)
+    msa = super5(seqs, refine_iters=3)
+    assert sorted(s.label for s in msa) == sorted(s.label for s in seqs)
+    degapped = {s.label: s.text().replace("-", "") for s in msa}
+    for s in seqs:
+        assert degapped[s.label] == s.text()
+    assert msa.is_aligned()
+
+
+@pytest.mark.slow
+@needs_rdrp
+@pytest.mark.skipif(
+    not (os.environ.get("MUSCLE_TPU_TEST_TPU")
+         or os.environ.get("MUSCLE_TPU_RDRP_FULL")),
+    reason="default-config golden run is accelerator-budget "
+           "(MUSCLE_TPU_TEST_TPU=1 or MUSCLE_TPU_RDRP_FULL=1 to run)")
 def test_rdrp_subset_super5():
     from muscle_tpu.pipeline.super5 import super5
 
