@@ -112,6 +112,9 @@ class PProg:
         """items: [(i1, i2)] node-index pairs, scored in order. Returns
         {(i1, i2): (avg_ea, rng_snapshot)} after ONE EA-only device
         pass over all sampled sequence pairs of the round."""
+        import time as _time
+        from ..utils import logging as mlog
+        t0 = _time.perf_counter()
         snaps = {}
         slices = []
         all_pairs: list[tuple[int, int]] = []
@@ -128,6 +131,8 @@ class PProg:
         for (i1, i2), (lo, cnt) in zip(items, slices):
             avg = float(np.mean(eas[lo:lo + cnt])) if cnt else 0.0
             out[(i1, i2)] = (avg, snaps[(i1, i2)])
+        mlog.log("pprog score_round: %d items %d pairs %.2fs",
+                 len(items), len(all_pairs), _time.perf_counter() - t0)
         return out
 
     # -- profile-profile path (reference: AlignMSAsFlat) ----------------
@@ -136,8 +141,11 @@ class PProg:
         """Column-posterior build + MEA path for one MSA pair. `rng`
         (default: the shared stream) drives the pair sampling — pass a
         clone()d snapshot to replay a score_round sampling."""
+        import time as _time
+        from ..utils import logging as mlog
         from ..native import build_post_accumulate_csr_native
         from .progressive import _accumulate_csr_np
+        t0 = _time.perf_counter()
         rng = rng if rng is not None else self.rng
         n1, n2 = len(msa1), len(msa2)
         cc1, cc2 = msa1.col_count(), msa2.col_count()
@@ -155,6 +163,8 @@ class PProg:
             r = align_sampled_device(sv, sc, sampled, msa1, msa2,
                                      max_nnz)
             if r is not None:
+                mlog.log("pprog path_msas(dev): %d pairs %.2fs",
+                         len(sampled), _time.perf_counter() - t0)
                 return avg_ea, r[1]
             # over the devjoin HBM budget: fetch this store packed and
             # accumulate on host (no recompute)
@@ -180,6 +190,8 @@ class PProg:
                 _accumulate_csr_np(col_post, v, c, rp, ptc1[i], ptc2[j],
                                    False)
         _, path = mea_align(col_post)
+        mlog.log("pprog path_msas(host): %d pairs %.2fs",
+                 len(sampled), _time.perf_counter() - t0)
         return avg_ea, path
 
     def align_msas(self, msa1: MultiSequence, msa2: MultiSequence
