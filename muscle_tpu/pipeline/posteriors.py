@@ -14,6 +14,7 @@ from __future__ import annotations
 from functools import partial
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..alphabet import encode
@@ -234,6 +235,28 @@ def _clamp_chunk_by_len(b: int, lb: int, step: int = 8) -> int:
     return max(step, min(b, _floor_rung(cap, step)))
 
 
+@partial(jax.jit, donate_argnames=("sv", "sc", "se", "mx"),
+         static_argnames=("kk",))
+def _absorb(sv, sc, se, mx, post, ea, idx, kk):
+    """Sparsify one posterior chunk into the device store (module-level
+    jit: per-call jit objects leak one compiled executable per
+    Super4/Super7 cluster). Duplicate idx entries (final-chunk padding
+    repeats a real pair) write identical data, so scatter order is
+    irrelevant."""
+    from ..ops import sparse as sp
+    vals, cols, nnz = sp.sparsify(post, kk)
+    lb = post.shape[1]
+    l_full = sv.shape[1]
+    if lb < l_full:
+        vals = jnp.pad(vals, ((0, 0), (0, l_full - lb), (0, 0)))
+        cols = jnp.pad(cols, ((0, 0), (0, l_full - lb), (0, 0)),
+                       constant_values=-1)
+    sv = sv.at[idx].set(vals)
+    sc = sc.at[idx].set(cols)
+    se = se.at[idx].set(ea)
+    return sv, sc, se, jnp.maximum(mx, nnz)
+
+
 def _sparse_store_loop(make_fn, chunk_args_fn, pairs, lens, b, k,
                        l_full, bucket=True, step=8):
     """Shared device loop: run batches (length-bucketed), sparsify on
@@ -244,9 +267,6 @@ def _sparse_store_loop(make_fn, chunk_args_fn, pairs, lens, b, k,
     make_fn(Lb) builds the device batch fn for bucket length Lb;
     chunk_args_fn(xi, yi, Lb) slices/pads the encoded inputs.
     """
-    import jax
-    from ..ops import sparse as sp
-
     n_pairs = len(pairs)
     # pair axis bucketed (store_rows): rows beyond n_pairs stay
     # all-zero — the last one is the consistency dump slot, the rest
@@ -256,22 +276,7 @@ def _sparse_store_loop(make_fn, chunk_args_fn, pairs, lens, b, k,
     store_c = jnp.full((store_rows(n_pairs), l_full, k), -1, jnp.int32)
     store_ea = jnp.zeros((n_pairs,), jnp.float32)
     max_nnz = jnp.zeros((), jnp.int32)
-
-    @partial(jax.jit, donate_argnames=("sv", "sc", "se", "mx"),
-             static_argnames=("kk",))
-    def absorb(sv, sc, se, mx, post, ea, idx, kk):
-        vals, cols, nnz = sp.sparsify(post, kk)
-        lb = post.shape[1]
-        if lb < l_full:
-            vals = jnp.pad(vals, ((0, 0), (0, l_full - lb), (0, 0)))
-            cols = jnp.pad(cols, ((0, 0), (0, l_full - lb), (0, 0)),
-                           constant_values=-1)
-        # duplicate idx entries (final-chunk padding repeats a real
-        # pair) write identical data, so scatter order is irrelevant
-        sv = sv.at[idx].set(vals)
-        sc = sc.at[idx].set(cols)
-        se = se.at[idx].set(ea)
-        return sv, sc, se, jnp.maximum(mx, nnz)
+    absorb = _absorb
 
     buckets = _bucketize(pairs, lens, l_full) if bucket else None
     if buckets is None:
@@ -586,6 +591,46 @@ def ensemble_pairs_posteriors_sparse(codes: np.ndarray, lens: np.ndarray,
 SMALL_DENSE_NL = 16384
 
 
+def _small_cons_jit():
+    """Module-level jit (per-call jit objects each cache their own
+    compiled TPU executable — one fresh object per Super4 cluster
+    exhausted device program memory after ~60 clusters)."""
+    import jax
+    from functools import partial as _p
+    from ..ops import consistency as cons
+    from ..ops import sparse as sp
+
+    @_p(jax.jit, static_argnames=("n_pad", "iters", "kk", "fast"))
+    def _fn(post, xi, yi, n_real, p_real, n_pad, iters, kk, fast):
+        l = post.shape[1]
+        t = jnp.zeros((n_pad, n_pad, l, l), jnp.float32)
+        t = t.at[xi, yi].set(post)
+        t = t.at[yi, xi].set(jnp.swapaxes(post, -1, -2))
+        mask = cons.sparsity_mask(t)
+        for _ in range(iters):
+            t = cons.consistency_iter(t, mask, n_real, fast=fast)
+        out = t[xi, yi]
+        vals, cols_, nnz = sp.sparsify(out, kk)
+        lane = jnp.arange(vals.shape[0])[:, None, None]
+        vals = jnp.where(lane < p_real, vals, 0.0)
+        cols_ = jnp.where(lane < p_real, cols_, -1)
+        return vals, cols_, nnz
+
+    return _fn
+
+
+_cons_sparsify_fn = None
+
+
+def _cons_sparsify(post, xi, yi, n_real, p_real, n_pad, iters, kk,
+                   fast):
+    global _cons_sparsify_fn
+    if _cons_sparsify_fn is None:
+        _cons_sparsify_fn = _small_cons_jit()
+    return _cons_sparsify_fn(post, xi, yi, n_real, p_real,
+                             n_pad=n_pad, iters=iters, kk=kk, fast=fast)
+
+
 def small_family_store(codes_or_profiles, lens, pack_or_mega, pairs,
                        n: int, k: int, iters: int, precision: str,
                        mega=None, backend: str = "auto",
@@ -637,28 +682,9 @@ def small_family_store(codes_or_profiles, lens, pack_or_mega, pairs,
     n_pad = _rung(n, 4)
     xi_j = jnp.asarray(xi.astype(np.int32))
     yi_j = jnp.asarray(yi.astype(np.int32))
-
-    @partial(jax.jit, static_argnames=("n_pad", "iters", "kk", "p_real",
-                                       "prec"))
-    def _cons_sparsify(post, xi, yi, n_real, n_pad, iters, kk, p_real,
-                       prec):
-        t = jnp.zeros((n_pad, n_pad, l, l), jnp.float32)
-        t = t.at[xi, yi].set(post)
-        t = t.at[yi, xi].set(jnp.swapaxes(post, -1, -2))
-        mask = cons.sparsity_mask(t)
-        for _ in range(iters):
-            t = cons.consistency_iter(t, mask, n_real,
-                                      fast=(prec == "default"))
-        out = t[xi, yi]
-        vals, cols_, nnz = sp.sparsify(out, kk)
-        lane = jnp.arange(vals.shape[0])[:, None, None]
-        vals = jnp.where(lane < p_real, vals, 0.0)
-        cols_ = jnp.where(lane < p_real, cols_, -1)
-        return vals, cols_, nnz
-
-    sv, sc, nnz = _cons_sparsify(post, xi_j, yi_j,
-                                 jnp.float32(n), n_pad, iters, k,
-                                 n_pairs, precision)
+    sv, sc, nnz = _cons_sparsify(post, xi_j, yi_j, jnp.float32(n),
+                                 jnp.int32(n_pairs), n_pad, iters, k,
+                                 precision == "default")
     if sv.shape[0] == n_pairs:
         # guarantee a trailing all-zero dump row for device joiners
         sv = jnp.pad(sv, ((0, 8), (0, 0), (0, 0)))
