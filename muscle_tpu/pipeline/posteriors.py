@@ -761,9 +761,24 @@ def ea_dist_matrix(n: int, pairs: list[tuple[int, int]], ea: np.ndarray
     return d
 
 
+_MEGA_FN_CACHE: dict = {}
+
+
 def _make_mega_chunk_fn(mega, pack, with_mea, backend):
-    """Jitted (px, py, lx, ly) -> (post, ea) for mega profiles."""
+    """Jitted (px, py, lx, ly) -> (post, ea) for mega profiles.
+
+    Memoized on the (mega, pack) identities: Super7 runs one MPC per
+    shrub and a fresh jit per shrub leaks one compiled executable each
+    (same failure mode as the per-cluster absorb jits). The cache
+    intentionally holds the mega/pack objects alive so ids stay valid.
+    """
     import jax
+    key = (id(mega), id(pack), with_mea, backend)
+    hit = _MEGA_FN_CACHE.get(key)
+    if hit is not None:
+        return hit[0]
+    if len(_MEGA_FN_CACHE) >= 8:
+        _MEGA_FN_CACHE.clear()
     from ..ops import pairhmm
     from ..ops.emissions import (mega_emission_matrix, mega_feature_arrays,
                                  mega_insert_scores)
@@ -802,9 +817,12 @@ def _make_mega_chunk_fn(mega, pack, with_mea, backend):
         from ..parallel.mesh import batch_spec, make_mesh
         mesh = make_mesh()
         dsh = NamedSharding(mesh, batch_spec(mesh))
-        return jax.jit(_chunk, in_shardings=(dsh,) * 4,
-                       out_shardings=(dsh, dsh))
-    return jax.jit(_chunk)
+        fn = jax.jit(_chunk, in_shardings=(dsh,) * 4,
+                     out_shardings=(dsh, dsh))
+    else:
+        fn = jax.jit(_chunk)
+    _MEGA_FN_CACHE[key] = (fn, mega, pack)
+    return fn
 
 
 def all_pairs_posteriors_mega(profiles: np.ndarray, lens: np.ndarray,
