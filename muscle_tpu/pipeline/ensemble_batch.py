@@ -100,7 +100,7 @@ def run_replicates_batched(seqs: MultiSequence, reps, load_hp, alpha: str,
             sv, sc = store_v[r], store_c[r]
             if n >= 3 and consiters > 0:
                 from ..ops.consistency import consistency_sparse
-                seq_block = max(1, min(16, 16384 // pad_to))
+                seq_block = max(1, min(16, 8192 // pad_to))
                 from .mpc import consistency_precision_for
                 with mlog.stage("consistency"):
                     sv = consistency_sparse(

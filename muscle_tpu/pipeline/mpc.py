@@ -232,7 +232,10 @@ class MPC:
         if not use_dense and n >= 3 and self.consistency_iters > 0:
             from ..ops.consistency import consistency_sparse
             l = store_v.shape[1]
-            seq_block = max(1, min(16, 16384 // l))
+            # panels are (blk*l)^2 f32 with ~7 live per wave — blk*l <= 8192
+            # bounds that at ~1.9 GB (blk=16 at L=1024 OOMed the chip
+            # on rdrp cluster 63)
+            seq_block = max(1, min(16, 8192 // l))
             with mlog.stage("consistency"):
                 store_v = consistency_sparse(
                     store_v, store_c, n, self.consistency_iters,
