@@ -273,9 +273,12 @@ def main():
     from muscle_tpu.utils.jaxsetup import setup_jax
     setup_jax()
     # primary metric is measured FIRST (fast, and protected against a
-    # harness timeout during the slow wall-clock configs) but its JSON
-    # line prints LAST — the driver parses the last line.
+    # harness timeout during the slow wall-clock configs) and printed
+    # BOTH first and last — the driver parses the LAST line, so even if
+    # the process is killed mid-way through a slow secondary config the
+    # most recent line is still a valid metric.
     value, ratio = bench_pairhmm()
+    emit("pairhmm_cells_per_sec", value, "cells/s", ratio)
     full = os.environ.get("BENCH_FULL", "1") != "0"
     budget = float(os.environ.get("BENCH_BUDGET_S", 2400))
     t_start = time.perf_counter()
