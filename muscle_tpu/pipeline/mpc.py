@@ -220,6 +220,14 @@ class MPC:
             from ..utils.logging import log
             log(f"sparse posterior truncation: max row nnz {max_nnz} > "
                 f"K={self.sparse_k}")
+        # trim the store to the occupied K-prefix (sparsify packs valid
+        # slots first): at rdrp-cluster scale the full-K store is
+        # ~5.5 GB and consistency double-buffers it — the 258-seq
+        # cluster OOMed a 16 GB chip before this trim
+        k2s = min(self.sparse_k, max(8, -(-int(max_nnz) // 8) * 8))
+        if k2s < store_v.shape[2]:
+            store_v = store_v[:, :, :k2s]
+            store_c = store_c[:, :, :k2s]
         self.dist_mx = post_mod.ea_dist_matrix(n, pairs, ea)
 
         # guide tree BEFORE consistency (reference: src/mpcflat.cpp:306-310;
