@@ -706,20 +706,37 @@ def fetch_store_csr(store_v, store_c, pad_to: int):
     from ..utils import logging as mlog
     t0 = _time.perf_counter()
     nnz_dev, total_dev = sp.store_nnz(store_c)
-    total = int(total_dev)
+    nnz_np = np.asarray(nnz_dev.astype(jnp.uint8)).astype(np.int64)
+    total = int(nnz_np.sum())
     t1 = _time.perf_counter()
     ctype = jnp.int16 if pad_to < (1 << 15) else jnp.int32
-    flat_v, flat_c = sp.pack_store(store_v, store_c, sp.pack_cap(total),
-                                   ctype)
-    flat_v.block_until_ready()
-    t2 = _time.perf_counter()
-    flat_v = np.asarray(flat_v)[:total]
-    flat_c = np.asarray(flat_c)[:total].astype(np.int32)
-    nnz_np = np.asarray(nnz_dev.astype(jnp.uint8)).astype(np.int64)
-    t3 = _time.perf_counter()
+    rows, l, kk = store_v.shape
+    # slab the pack for big stores: the nonzero/gather workspace over
+    # the whole store OOMed a 16 GB chip at rdrp-cluster scale
+    # (34k rows x 512 x 24 right after the consistency peak)
+    slab = rows if rows * l * kk <= (192 << 20) else 8192
+    parts_v, parts_c = [], []
+    t_pack = 0.0
+    t_fetch = 0.0
+    for lo in range(0, rows, slab):
+        hi = min(lo + slab, rows)
+        sub_total = int(nnz_np[lo:hi].sum())
+        tp = _time.perf_counter()
+        fv, fc = sp.pack_store(store_v[lo:hi], store_c[lo:hi],
+                               sp.pack_cap(sub_total), ctype)
+        fv.block_until_ready()
+        tf = _time.perf_counter()
+        t_pack += tf - tp
+        parts_v.append(np.asarray(fv)[:sub_total])
+        parts_c.append(np.asarray(fc)[:sub_total])
+        t_fetch += _time.perf_counter() - tf
+    flat_v = (parts_v[0] if len(parts_v) == 1
+              else np.concatenate(parts_v))
+    flat_c = (parts_c[0] if len(parts_c) == 1
+              else np.concatenate(parts_c)).astype(np.int32)
     mlog.log("fetch_csr: nnz=%d (%.1f MB) count %.2fs pack %.2fs "
-             "fetch %.2fs", total, total * 6 / 1e6, t1 - t0, t2 - t1,
-             t3 - t2)
+             "fetch %.2fs", total, total * 6 / 1e6, t1 - t0, t_pack,
+             t_fetch)
     return flat_v, flat_c, nnz_np
 
 
