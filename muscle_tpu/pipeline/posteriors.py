@@ -705,23 +705,26 @@ def fetch_store_csr(store_v, store_c, pad_to: int):
     from ..ops import sparse as sp
     from ..utils import logging as mlog
     t0 = _time.perf_counter()
-    nnz_dev, total_dev = sp.store_nnz(store_c)
-    nnz_np = np.asarray(nnz_dev.astype(jnp.uint8)).astype(np.int64)
-    total = int(nnz_np.sum())
-    t1 = _time.perf_counter()
     ctype = jnp.int16 if pad_to < (1 << 15) else jnp.int32
     rows, l, kk = store_v.shape
-    # slab the pack for big stores: the nonzero/gather workspace over
-    # the whole store OOMed a 16 GB chip at rdrp-cluster scale
-    # (34k rows x 512 x 24 right after the consistency peak)
+    # slab EVERYTHING (count + pack + fetch) for big stores: the
+    # whole-store nonzero/gather/count workspace OOMed a 16 GB chip at
+    # rdrp-cluster scale (34k rows x 512 x 24 right after the
+    # consistency peak)
     slab = rows if rows * l * kk <= (192 << 20) else 8192
-    parts_v, parts_c = [], []
+    parts_v, parts_c, parts_n = [], [], []
+    t_count = 0.0
     t_pack = 0.0
     t_fetch = 0.0
     for lo in range(0, rows, slab):
         hi = min(lo + slab, rows)
-        sub_total = int(nnz_np[lo:hi].sum())
+        tc0 = _time.perf_counter()
+        nnz_dev, _ = sp.store_nnz(store_c[lo:hi])
+        nnz_s = np.asarray(nnz_dev.astype(jnp.uint8)).astype(np.int64)
+        sub_total = int(nnz_s.sum())
+        parts_n.append(nnz_s)
         tp = _time.perf_counter()
+        t_count += tp - tc0
         fv, fc = sp.pack_store(store_v[lo:hi], store_c[lo:hi],
                                sp.pack_cap(sub_total), ctype)
         fv.block_until_ready()
@@ -734,8 +737,11 @@ def fetch_store_csr(store_v, store_c, pad_to: int):
               else np.concatenate(parts_v))
     flat_c = (parts_c[0] if len(parts_c) == 1
               else np.concatenate(parts_c)).astype(np.int32)
+    nnz_np = (parts_n[0] if len(parts_n) == 1
+              else np.concatenate(parts_n))
+    total = int(nnz_np.sum())
     mlog.log("fetch_csr: nnz=%d (%.1f MB) count %.2fs pack %.2fs "
-             "fetch %.2fs", total, total * 6 / 1e6, t1 - t0, t_pack,
+             "fetch %.2fs", total, total * 6 / 1e6, t_count, t_pack,
              t_fetch)
     return flat_v, flat_c, nnz_np
 
