@@ -289,11 +289,26 @@ def _sparse_store_loop(make_fn, chunk_args_fn, pairs, lens, b, k,
             full = ch + [ch[0]] * (b - len(ch))
             xi = np.array([pairs[t][0] for t in full])
             yi = np.array([pairs[t][1] for t in full])
-            from ..utils.devretry import call_with_retry
+            from ..utils.devretry import call_with_retry, is_transient
             post, ea = call_with_retry(fn, *chunk_args_fn(xi, yi, lb))
-            store_v, store_c, store_ea, max_nnz = absorb(
-                store_v, store_c, store_ea, max_nnz, post, ea,
-                jnp.asarray(np.array(full, np.int32)), kk=k)
+            idxj = jnp.asarray(np.array(full, np.int32))
+            # absorb donates the store — retry a transient ONLY while
+            # the donated buffers are still live (a compile-phase
+            # tunnel drop, e.g. "remote_compile: response body closed",
+            # fails before donation consumes them; observed killing a
+            # 4.5k-seq run at PProg join 131/158)
+            import time as _t
+            for attempt in range(4):
+                try:
+                    store_v, store_c, store_ea, max_nnz = absorb(
+                        store_v, store_c, store_ea, max_nnz, post, ea,
+                        idxj, kk=k)
+                    break
+                except Exception as e:
+                    if (not is_transient(e) or attempt == 3
+                            or store_v.is_deleted()):
+                        raise
+                    _t.sleep(10.0 * (2 ** attempt))
     ea_np = np.asarray(store_ea)
     return store_v, store_c, ea_np, int(max_nnz)
 
