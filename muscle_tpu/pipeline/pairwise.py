@@ -49,6 +49,17 @@ class PairAligner:
             self.codes, self.lens, self.pack, pairs,
             batch_size=self.batch_size, backend=self.backend)
 
+    def sparse_store_async(self, pairs: list[tuple[int, int]]):
+        """sparse_store WITHOUT the final host sync: ea and max_nnz
+        come back as device arrays and the call returns as soon as the
+        work is enqueued. PProg's prefetch pipeline dispatches join
+        k+1's pair grid behind join k's host-side traceback/row merge
+        (on a tunneled chip each sync also pays a ~29 ms round trip)."""
+        return post_mod.all_pairs_posteriors_sparse(
+            self.codes, self.lens, self.pack, pairs,
+            batch_size=self.batch_size, backend=self.backend,
+            sync=False)
+
     def csr_posteriors(self, pairs: list[tuple[int, int]]):
         """Packed CSR posteriors: ([(vals, cols, rowptr)] per pair,
         ea (P,)). Only the true nnz crosses the device->host link (the

@@ -258,11 +258,14 @@ def _absorb(sv, sc, se, mx, post, ea, idx, kk):
 
 
 def _sparse_store_loop(make_fn, chunk_args_fn, pairs, lens, b, k,
-                       l_full, bucket=True, step=8):
+                       l_full, bucket=True, step=8, sync=True):
     """Shared device loop: run batches (length-bucketed), sparsify on
     device, scatter into a device-resident (P+1, L, K) store whose last
     row is the all-zero dump slot. Returns
-    (vals_dev, cols_dev, ea_np, max_nnz_int).
+    (vals_dev, cols_dev, ea_np, max_nnz_int); with sync=False the ea
+    and max_nnz stay DEVICE arrays and nothing blocks — the PProg
+    prefetch pipeline uses this to enqueue the next join's pair grid
+    behind the current join's host-side traceback.
 
     make_fn(Lb) builds the device batch fn for bucket length Lb;
     chunk_args_fn(xi, yi, Lb) slices/pads the encoded inputs.
@@ -309,6 +312,8 @@ def _sparse_store_loop(make_fn, chunk_args_fn, pairs, lens, b, k,
                             or store_v.is_deleted()):
                         raise
                     _t.sleep(10.0 * (2 ** attempt))
+    if not sync:
+        return store_v, store_c, store_ea, max_nnz
     ea_np = np.asarray(store_ea)
     return store_v, store_c, ea_np, int(max_nnz)
 
@@ -319,13 +324,16 @@ def all_pairs_posteriors_sparse(codes: np.ndarray, lens: np.ndarray,
                                 batch_size: int = 32, k: int = 32,
                                 device_batch_fn=None,
                                 backend: str = "auto",
-                                bucket: bool = True):
+                                bucket: bool = True,
+                                sync: bool = True):
     """Device-resident sparse variant of all_pairs_posteriors.
 
     Returns (vals (P+1, L, K) device, cols device, ea (P,) numpy,
     max_nnz). The store's trailing row is the all-zero dump slot the
     blocked consistency expects. max_nnz > K signals (rare) truncation
     of rows with more than K entries >= 0.01 — callers should log it.
+    sync=False keeps ea/max_nnz as device arrays and returns without
+    blocking (the long-pair path still syncs — it is host-driven).
     """
     if backend == "auto":
         backend = default_backend()
@@ -346,7 +354,8 @@ def all_pairs_posteriors_sparse(codes: np.ndarray, lens: np.ndarray,
 
     return _sparse_store_loop(make_fn, chunk_args, pairs, lens, b, k,
                               codes.shape[1], bucket=bucket,
-                              step=_chunk_step(backend, n_dev))
+                              step=_chunk_step(backend, n_dev),
+                              sync=sync)
 
 
 # beyond this padded length the batched kernels' (Lx, B, Ly) lattices
@@ -421,6 +430,48 @@ def _long_pairs_pallas_batch(codes, lens, pack, batch, k,
             for j in range(len(batch))]
 
 
+# Y-striped kernel limits (ops/pairhmm_striped.py): stripes of
+# _STRIPE_W lanes remove the VMEM lane cap entirely; the remaining
+# bound is HBM for the per-stripe M/posterior lattices + boundary
+# arrays (~2-3 GB transient at 25k x 25k, tile_p=8).
+_STRIPE_W = 2048
+_STRIPED_CELL_BUDGET = 640 * 1024 * 1024   # 25k x 25k
+
+
+def _long_pairs_striped_batch(codes, lens, pack, batch, k):
+    """Up to 8 beyond-the-lane-cap pairs through the Y-striped fused
+    kernels (ops/pairhmm_striped.py) — the band the reference serves
+    from its flat kernel at ~21k max (src/fwdflat3.cpp:17-18) and we
+    previously served only via the slow checkpoint scan."""
+    import jax
+    from ..ops import pairhmm
+    from ..ops.pairhmm_striped import striped_posteriors_sparse
+
+    args = pairhmm.score_args(pack)
+    full = batch + [batch[0]] * (8 - len(batch))
+    px = max(_long_rung(int(lens[x])) for x, _ in full)
+    py = max(round_up(int(lens[y]), _STRIPE_W) for _, y in full)
+    wild = args[0].shape[0] - 1
+    xb = np.full((8, px), wild, np.int32)
+    yb = np.full((8, py), wild, np.int32)
+    lx = np.empty(8, np.int32)
+    ly = np.empty(8, np.int32)
+    for j, (x, y) in enumerate(full):
+        lx[j] = lens[x]
+        ly[j] = lens[y]
+        xb[j, :lx[j]] = codes[x][:lx[j]]
+        yb[j, :ly[j]] = codes[y][:ly[j]]
+    vals, cols, ea, nnz = striped_posteriors_sparse(
+        jnp.asarray(xb), jnp.asarray(yb), jnp.asarray(lx),
+        jnp.asarray(ly), *args, k=k, stripe_w=_STRIPE_W, tile_p=8)
+    vals = np.asarray(vals)
+    cols = np.asarray(cols)
+    ea = np.asarray(ea)
+    nnz = int(np.asarray(nnz))
+    return [(vals[j], cols[j], float(ea[j]), nnz)
+            for j in range(len(batch))]
+
+
 def _long_pairs_sparse(codes, lens, pack, pairs, k):
     """Per-pair long-sequence posterior loop (host store)."""
     from ..ops.pairhmm_long import long_pair_posterior_sparse
@@ -438,6 +489,11 @@ def _long_pairs_sparse(codes, lens, pack, pairs, k):
                 round_up(int(lens[x]), 128) * py
                 <= _LONG_PALLAS_CELL_BUDGET)
 
+    def fits_striped(x, y):
+        return (round_up(int(lens[x]), 128) *
+                round_up(int(lens[y]), _STRIPE_W)
+                <= _STRIPED_CELL_BUDGET)
+
     # group Pallas-eligible pairs by their (px, py) ladder rectangle so
     # batches share one compile shape and fill the 8 lanes with real
     # work. The VMEM lane cap binds only the Y axis, so pairs whose
@@ -448,6 +504,7 @@ def _long_pairs_sparse(codes, lens, pack, pairs, k):
     # Lx*Ly*5 > INT_MAX, src/calcpost.cpp:8-9)
     from collections import defaultdict
     groups: dict[tuple[int, int, bool], list[int]] = defaultdict(list)
+    striped_groups: dict[tuple[int, int], list[int]] = defaultdict(list)
     scan_idx = []
     for i, (x, y) in enumerate(pairs):
         if use_pallas and fits(x, y):
@@ -456,6 +513,10 @@ def _long_pairs_sparse(codes, lens, pack, pairs, k):
         elif use_pallas and fits(y, x):
             groups[(_long_rung(int(lens[y])), _long_rung(int(lens[x])),
                     True)].append(i)
+        elif use_pallas and fits_striped(x, y):
+            # both sides beyond the lane cap: Y-striped kernels
+            striped_groups[(_long_rung(int(lens[x])),
+                            round_up(int(lens[y]), _STRIPE_W))].append(i)
         else:
             scan_idx.append(i)
 
@@ -466,6 +527,19 @@ def _long_pairs_sparse(codes, lens, pack, pairs, k):
                      for t in ch]
             results = _long_pairs_pallas_batch(
                 codes, lens, pack, batch, k, transpose_post=swapped)
+            for i, (vals, cols, ea_p, nnz) in zip(ch, results):
+                x = pairs[i][0]
+                sv[i, :lens[x]] = vals[:lens[x]]
+                sc[i, :lens[x]] = cols[:lens[x]]
+                ea[i] = ea_p
+                max_nnz = max(max_nnz, nnz)
+
+    for (px, py), idxs in striped_groups.items():
+        for lo in range(0, len(idxs), 8):
+            ch = idxs[lo:lo + 8]
+            batch = [pairs[t] for t in ch]
+            results = _long_pairs_striped_batch(codes, lens, pack,
+                                                batch, k)
             for i, (vals, cols, ea_p, nnz) in zip(ch, results):
                 x = pairs[i][0]
                 sv[i, :lens[x]] = vals[:lens[x]]
@@ -906,7 +980,8 @@ def all_pairs_posteriors_mega_sparse(profiles: np.ndarray,
                                      pairs: list[tuple[int, int]],
                                      batch_size: int = 16, k: int = 32,
                                      backend: str = "auto",
-                                     bucket: bool = True):
+                                     bucket: bool = True,
+                                     sync: bool = True):
     """Sparse device-resident variant of all_pairs_posteriors_mega."""
     if backend == "auto":
         backend = default_backend()
@@ -925,4 +1000,5 @@ def all_pairs_posteriors_mega_sparse(profiles: np.ndarray,
 
     return _sparse_store_loop(make_fn, chunk_args, pairs, lens, b, k,
                               profiles.shape[1], bucket=bucket,
-                              step=_chunk_step(backend, n_dev))
+                              step=_chunk_step(backend, n_dev),
+                              sync=sync)

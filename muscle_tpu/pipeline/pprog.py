@@ -136,20 +136,40 @@ class PProg:
         return out
 
     # -- profile-profile path (reference: AlignMSAsFlat) ----------------
-    def path_msas(self, msa1: MultiSequence, msa2: MultiSequence,
-                  rng: MwcRng | None = None) -> tuple[float, str]:
-        """Column-posterior build + MEA path for one MSA pair. `rng`
-        (default: the shared stream) drives the pair sampling — pass a
-        clone()d snapshot to replay a score_round sampling."""
-        import time as _time
-        from ..utils import logging as mlog
+    def _accumulate_path(self, msa1, msa2, sampled, views) -> str:
+        """Host column-posterior accumulate (CSR walk) + MEA path."""
         from ..native import build_post_accumulate_csr_native
         from .progressive import _accumulate_csr_np
-        t0 = _time.perf_counter()
-        rng = rng if rng is not None else self.rng
-        n1, n2 = len(msa1), len(msa2)
         cc1, cc2 = msa1.col_count(), msa2.col_count()
-        sampled = get_pairs(n1, n2, self.target, rng)
+        col_post = np.zeros((cc1, cc2), dtype=np.float32)
+        ptc1 = {i: msa1[i].pos_to_col() for i in
+                {i for i, _ in sampled}}
+        ptc2 = {j: msa2[j].pos_to_col() for j in
+                {j for _, j in sampled}}
+        for k, (i, j) in enumerate(sampled):
+            v, c, rp = views[k]
+            if not build_post_accumulate_csr_native(
+                    col_post, v, c, rp, ptc1[i], ptc2[j], False):
+                _accumulate_csr_np(col_post, v, c, rp, ptc1[i], ptc2[j],
+                                   False)
+        _, path = mea_align(col_post)
+        return path
+
+    def path_msas(self, msa1: MultiSequence, msa2: MultiSequence,
+                  rng: MwcRng | None = None,
+                  sampled: list[tuple[int, int]] | None = None
+                  ) -> tuple[float, str]:
+        """Column-posterior build + MEA path for one MSA pair. `rng`
+        (default: the shared stream) drives the pair sampling — pass a
+        clone()d snapshot to replay a score_round sampling, or pass
+        `sampled` directly (the pipelined run_guide_tree pre-samples
+        the whole join sequence)."""
+        import time as _time
+        from ..utils import logging as mlog
+        t0 = _time.perf_counter()
+        if sampled is None:
+            rng = rng if rng is not None else self.rng
+            sampled = get_pairs(len(msa1), len(msa2), self.target, rng)
         gpairs = self._gpairs(msa1, msa2, sampled)
 
         store_fn = getattr(self.aligner, "sparse_store", None)
@@ -178,18 +198,7 @@ class PProg:
             views, eas = self.aligner.csr_posteriors(gpairs)
             avg_ea = float(np.mean(eas)) if len(eas) else 0.0
 
-        col_post = np.zeros((cc1, cc2), dtype=np.float32)
-        ptc1 = {i: msa1[i].pos_to_col() for i in
-                {i for i, _ in sampled}}
-        ptc2 = {j: msa2[j].pos_to_col() for j in
-                {j for _, j in sampled}}
-        for k, (i, j) in enumerate(sampled):
-            v, c, rp = views[k]
-            if not build_post_accumulate_csr_native(
-                    col_post, v, c, rp, ptc1[i], ptc2[j], False):
-                _accumulate_csr_np(col_post, v, c, rp, ptc1[i], ptc2[j],
-                                   False)
-        _, path = mea_align(col_post)
+        path = self._accumulate_path(msa1, msa2, sampled, views)
         mlog.log("pprog path_msas(host): %d pairs %.2fs",
                  len(sampled), _time.perf_counter() - t0)
         return avg_ea, path
@@ -249,14 +258,81 @@ class PProg:
     # -- guide-tree-driven joins (reference: src/pprog_tree.cpp) ---------
     def run_guide_tree(self, msas: list[MultiSequence],
                        idx1: list[int], idx2: list[int]) -> MultiSequence:
+        """Joins along a precomputed join order, PIPELINED: an internal
+        node's row list is (m1 rows, m2 rows), so every join's row
+        counts and row->global-sequence maps are static functions of
+        the tree — the pair sampling stream is consumed up front in the
+        exact serial order, and join k+1's posterior pair grid is
+        dispatched to the device BEFORE join k's host-side traceback +
+        row merge (results are byte-identical to the serial loop; only
+        the device queue is ahead). MUSCLE_TPU_PPROG_PREFETCH sets the
+        lookahead depth (0 = serial; default 1 — each prefetched store
+        holds a device buffer, so deeper lookahead trades HBM)."""
+        import os
         from ..utils import logging as mlog
-        n = len(msas)
         node_msas: list[MultiSequence | None] = list(msas)
-        for k in range(len(idx1)):
-            mlog.log("PProg join %d/%d", k + 1, len(idx1))
+        njoin = len(idx1)
+
+        # pre-sample every join in serial RNG order
+        node_glob: list[list[int] | None] = [
+            [self.l2g[s.label] for s in m] for m in msas]
+        plan = []
+        for k in range(njoin):
+            g1, g2 = node_glob[idx1[k]], node_glob[idx2[k]]
+            sampled = get_pairs(len(g1), len(g2), self.target, self.rng)
+            plan.append((sampled, [(g1[i], g2[j]) for i, j in sampled]))
+            node_glob.append(g1 + g2)
+        del node_glob
+
+        store_async = getattr(self.aligner, "sparse_store_async", None)
+        lookahead = int(os.environ.get("MUSCLE_TPU_PPROG_PREFETCH", "1"))
+        pending: dict[int, tuple | None] = {}
+
+        def _dispatch(k):
+            sampled, gpairs = plan[k]
+            if (store_async is not None and gpairs
+                    and _device_joins(len(sampled))):
+                pending[k] = store_async(gpairs)
+            else:
+                pending[k] = None
+
+        for k in range(min(lookahead + 1, njoin)):
+            _dispatch(k)
+
+        for k in range(njoin):
+            mlog.log("PProg join %d/%d", k + 1, njoin)
             m1 = node_msas[idx1[k]]
             m2 = node_msas[idx2[k]]
-            _, path = self.path_msas(m1, m2)
+            sampled, gpairs = plan[k]
+            st = pending.pop(k)
+            if st is not None:
+                import time as _time
+                t0 = _time.perf_counter()
+                from .devjoin import align_sampled_device
+                sv, sc, _se, mx = st
+                r = align_sampled_device(sv, sc, sampled, m1, m2,
+                                         int(np.asarray(mx)))
+                if r is not None:
+                    path = r[1]
+                else:
+                    # over the devjoin HBM budget: packed fetch + host
+                    from . import posteriors as post_mod
+                    flat_v, flat_c, nnz = post_mod.fetch_store_csr(
+                        sv, sc, sv.shape[1])
+                    views = post_mod.csr_views(
+                        flat_v, flat_c, nnz, len(gpairs),
+                        lambda t: int(self.aligner.lens[gpairs[t][0]]))
+                    path = self._accumulate_path(m1, m2, sampled, views)
+                del sv, sc, _se, mx, st
+                mlog.log("pprog join(pre%s): %d pairs %.2fs",
+                         "dev" if r is not None else "host",
+                         len(sampled), _time.perf_counter() - t0)
+            else:
+                _, path = self.path_msas(m1, m2, sampled=sampled)
+            # enqueue the next lookahead join before the host-side merge
+            nxt = k + lookahead + 1
+            if nxt < njoin:
+                _dispatch(nxt)
             joined = align_msas_by_path(m1, m2, path)
             _save_join(joined, k)
             node_msas.append(joined)

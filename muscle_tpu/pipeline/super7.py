@@ -178,6 +178,11 @@ class MegaPProg(PProg):
                     self._profiles, self._lens, self.mega, self.pack,
                     pairs)
 
+            def sparse_store_async(inner, pairs):
+                return post_mod.all_pairs_posteriors_mega_sparse(
+                    self._profiles, self._lens, self.mega, self.pack,
+                    pairs, sync=False)
+
             def csr_posteriors(inner, pairs):
                 sv, sc, eas, _ = post_mod.all_pairs_posteriors_mega_sparse(
                     self._profiles, self._lens, self.mega, self.pack,

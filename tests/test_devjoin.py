@@ -80,6 +80,48 @@ def test_pprog_device_join_matches_host():
             x.label
 
 
+@pytest.mark.parametrize("flag", ["0", "1"])
+def test_pprog_pipelined_guide_tree_matches_serial(flag):
+    """run_guide_tree's prefetch pipeline (pre-sampled RNG stream +
+    async store dispatch) must be byte-identical to the serial
+    sample-at-join loop, on both the host and device join paths."""
+    from muscle_tpu.alphabet import ALPHA_AMINO
+    from muscle_tpu.hmm.params import HMMParams
+    from muscle_tpu.pipeline.pairwise import PairAligner
+    from muscle_tpu.pipeline.pprog import PProg, align_msas_by_path
+    from muscle_tpu.sequence import MultiSequence
+    from muscle_tpu.utils.rng import MwcRng
+
+    seqs = _family(n=10, seed=11)
+    pack = HMMParams.from_defaults().to_scores()
+    aligner = PairAligner(list(seqs), pack, ALPHA_AMINO)
+    l2g = {s.label: i for i, s in enumerate(seqs)}
+    msas = [MultiSequence([s]) for s in seqs]
+    # an unbalanced join order exercising reuse of internal nodes
+    idx1 = [0, 1, 10, 11, 4, 5, 12, 14, 8]
+    idx2 = [3, 2, 6, 7, 13, 9, 15, 16, 17]
+
+    os.environ["MUSCLE_TPU_DEVICE_REFINE"] = flag
+    try:
+        # serial oracle: the pre-pipeline loop (sample at join time)
+        pps = PProg(aligner, l2g, target_pair_count=6, rng=MwcRng(1))
+        nodes = list(msas)
+        for k in range(len(idx1)):
+            m1, m2 = nodes[idx1[k]], nodes[idx2[k]]
+            _, path = pps.path_msas(m1, m2)
+            nodes.append(align_msas_by_path(m1, m2, path))
+        serial = nodes[-1]
+
+        ppp = PProg(aligner, l2g, target_pair_count=6, rng=MwcRng(1))
+        piped = ppp.run_guide_tree(list(msas), idx1, idx2)
+    finally:
+        del os.environ["MUSCLE_TPU_DEVICE_REFINE"]
+    assert serial.labels() == piped.labels()
+    for a, b in zip(serial, piped):
+        assert a.bytes_view().tobytes() == b.bytes_view().tobytes(), \
+            a.label
+
+
 def test_joiner_align_matches_align_alns():
     """Single-join check on real MPC posteriors, including the
     transposed-orientation grid."""
