@@ -1,12 +1,14 @@
 """On-chip validation of the long-pair router's Pallas paths.
 
-Covers the round-4 orientation swap: a pair whose Ly exceeds the fused
-kernels' ~9.9k lane cap but whose Lx fits is computed TRANSPOSED on the
-fast path and transposed back; the oracle is the no-cap checkpoint-scan
-path (ops/pairhmm_long). Also times both, giving the measured band
-throughput the VERDICT asked for.
+Covers the round-4 orientation swap (one side beyond the ~9.9k lane
+cap -> transposed fast path) AND the Y-striped kernels
+(ops/pairhmm_striped.py; BOTH sides beyond the cap, e.g. 16000 16000
+— the 10k-21k band the reference serves from its flat kernel).  The
+oracle is the no-cap checkpoint-scan path (ops/pairhmm_long).  Also
+times both, giving the measured band throughput the VERDICT asked for.
 
-Usage: python tools/validate_longpair.py [lx ly]  (defaults 4500 11500)
+Usage: python tools/validate_longpair.py [lx ly]  (defaults 4500 11500;
+       striped band: 16000 16000)
 """
 import os
 import sys
