@@ -96,18 +96,15 @@ class Super4:
         mlog.progress("Super4: %d clusters (max size %d)", len(clusters),
                       max(len(c) for c in clusters) if clusters else 0)
 
-        # per-cluster MSAs (MPC; singletons pass through)
-        cluster_msas: list[MultiSequence] = []
+        # per-cluster MSAs (MPC; singletons pass through). Small
+        # clusters batch into shared device dispatches
+        # (pipeline/cluster_batch.py — bit-identical to the serial
+        # loop); big clusters fall back to a serial MPC each.
+        from .cluster_batch import run_clusters_batched
         with mlog.stage("cluster_mpcs"):
-            for ci, cl in enumerate(clusters):
-                sub = MultiSequence([seqs[i] for i in cl])
-                if len(cl) == 1:
-                    cluster_msas.append(sub)
-                else:
-                    mlog.log("Super4: cluster %d/%d (%d seqs)", ci + 1,
-                             len(clusters), len(cl))
-                    mpc = self.mpc_factory()
-                    cluster_msas.append(mpc.run(sub, hp, self.alpha))
+            cluster_msas = run_clusters_batched(
+                [MultiSequence([seqs[i] for i in cl]) for cl in clusters],
+                hp, self.alpha, self.mpc_factory)
 
         if len(cluster_msas) == 1:
             return cluster_msas[0]
