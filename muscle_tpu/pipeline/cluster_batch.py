@@ -62,8 +62,6 @@ def _eligible(mpc: MPC, n: int, pad_to: int) -> bool:
     gate; clusters outside it (big n*L, or consistency disabled where
     the serial path would length-bucket pairs) keep the serial loop.
     """
-    if mpc.mega is not None:
-        return False
     if n == 2:
         # the iters=0 consistency wrapper still builds a (4, 4, L, L)
         # scatter tensor — bound it (~256 MB at L=2048); longer 2-seq
@@ -93,8 +91,11 @@ def run_clusters_batched(subs, hp: HMMParams, alpha: str, mpc_factory):
     backend = post_mod.default_backend()
     step = post_mod._chunk_step(backend, 1)
 
-    # prepare every cluster; partition batched vs serial
-    groups: dict[int, list[dict]] = {}   # pad_to -> [cluster ctx]
+    # prepare every cluster; partition batched vs serial.
+    # group key = (pad_to, mega identity): sequence clusters share
+    # _make_batch_fn compiles, Muscle-3D shrubs share the memoized
+    # mega chunk fn (posteriors._make_mega_chunk_fn)
+    groups: dict[tuple, list[dict]] = {}
     serial: list[int] = []
     for i, sub in enumerate(subs):
         if len(sub) == 1:
@@ -105,15 +106,34 @@ def run_clusters_batched(subs, hp: HMMParams, alpha: str, mpc_factory):
         if n == 1 or not _eligible(mpc, n, pad_to):
             serial.append(i)
             continue
-        codes, lens = post_mod.encode_batch(unique, alpha, pad_to=pad_to)
-        groups.setdefault(pad_to, []).append(dict(
+        if mpc.mega is not None:
+            # feature profiles matched by label (mpc.run's mega branch)
+            from ..ops.emissions import pad_profiles
+            prof_by_label = {lb: p for lb, p in
+                             zip(mpc.mega.labels, mpc.mega.profiles)}
+            profs = [prof_by_label[s.label] for s in unique]
+            lens = np.array([p.shape[0] for p in profs], dtype=np.int32)
+            codes = pad_profiles(profs, pad_to)
+        else:
+            codes, lens = post_mod.encode_batch(unique, alpha,
+                                                pad_to=pad_to)
+        # the mega chunk fn shards over the mesh — its segments (and
+        # the serial path it must mirror) round to the mesh-aware step
+        if mpc.mega is not None:
+            import jax
+            cstep = post_mod._chunk_step(backend, len(jax.devices()))
+        else:
+            cstep = step
+        key = (pad_to, id(mpc.mega) if mpc.mega is not None else None)
+        groups.setdefault(key, []).append(dict(
             i=i, sub=sub, mpc=mpc, derep=derep, unique=unique, n=n,
             labels=labels, l2i=l2i, pairs=pairs, codes=codes, lens=lens,
-            b=post_mod._rung(len(pairs), step)))
+            b=post_mod._rung(len(pairs), cstep), step=cstep))
 
     done = 0
     total = sum(1 for r in results if r is None)
-    for pad_to, ctxs in sorted(groups.items()):
+    for (pad_to, _mega_id), ctxs in sorted(
+            groups.items(), key=lambda kv: (kv[0][0], str(kv[0][1]))):
         budget = max(step, _CHUNK_POST_BYTES // (4 * pad_to * pad_to))
         # greedy pack clusters into chunks by padded-segment rows
         chunks: list[list[dict]] = []
@@ -127,9 +147,14 @@ def run_clusters_batched(subs, hp: HMMParams, alpha: str, mpc_factory):
             rows += c["b"]
         if cur:
             chunks.append(cur)
-        fn = post_mod._make_batch_fn(pad_to, pack, True, backend, None, 1)
+        mega = ctxs[0]["mpc"].mega
+        if mega is not None:
+            fn = post_mod._make_mega_chunk_fn(mega, pack, True, backend)
+        else:
+            fn = post_mod._make_batch_fn(pad_to, pack, True, backend,
+                                         None, 1)
         for chunk in chunks:
-            done += _run_chunk(chunk, fn, pad_to, step, alpha)
+            done += _run_chunk(chunk, fn, pad_to, chunk[0]["step"], alpha)
             mlog.log("cluster batch: %d/%d clusters done (L=%d)",
                      done, total, pad_to)
             for c in chunk:

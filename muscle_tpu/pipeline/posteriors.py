@@ -747,7 +747,11 @@ def small_family_store(codes_or_profiles, lens, pack_or_mega, pairs,
     l = codes_or_profiles.shape[1]
     if backend == "auto":
         backend = default_backend()
-    b = _rung(n_pairs, _chunk_step(backend, 1))
+    # the mega chunk fn shards its pair axis over the mesh
+    # (_make_mega_chunk_fn) — the rung must honor mesh divisibility;
+    # the letter fn below is built single-device (n_dev=1)
+    n_dev = len(jax.devices()) if mega is not None else 1
+    b = _rung(n_pairs, _chunk_step(backend, n_dev))
     full = list(pairs) + [pairs[0]] * (b - n_pairs)
     xi = np.array([p[0] for p in full])
     yi = np.array([p[1] for p in full])

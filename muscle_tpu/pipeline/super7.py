@@ -120,14 +120,13 @@ class Super7:
         if len(lcas) == 1:
             return make_mpc().run(seqs, hp, alpha)
 
-        shrub_msas = []
-        for lca in lcas:
-            shrub_seqs = MultiSequence(
-                [by_label[lb] for lb in tree.subtree_leaves(lca)])
-            if len(shrub_seqs) == 1:
-                shrub_msas.append(shrub_seqs)
-            else:
-                shrub_msas.append(make_mpc().run(shrub_seqs, hp, alpha))
+        # shrub MPCs batch into shared device dispatches (bit-identical
+        # to the serial per-shrub loop; pipeline/cluster_batch.py)
+        from .cluster_batch import run_clusters_batched
+        shrub_msas = run_clusters_batched(
+            [MultiSequence([by_label[lb] for lb in
+                            tree.subtree_leaves(lca)]) for lca in lcas],
+            hp, alpha, make_mpc)
 
         shrub_tree, shrub_labels = prune_to_shrub_tree(tree, lcas)
         idx1, idx2 = guide_tree_join_order(

@@ -50,6 +50,30 @@ def test_batched_matches_serial():
         assert a.to_fasta_text() == b.to_fasta_text(), f"cluster {i}"
 
 
+def test_batched_matches_serial_mega():
+    """Muscle-3D shrubs (profile emissions) batch bit-identically."""
+    from muscle_tpu.io.mega import parse_mega
+    from muscle_tpu.sequence import Sequence
+
+    mega = parse_mega("/root/reference/test_data/mega/BB11001.mega")
+    seqs = [Sequence(lb, sq.encode())
+            for lb, sq in zip(mega.labels, mega.seqs)]
+    subs = [MultiSequence(seqs[:2]), MultiSequence(seqs[1:4])]
+    hp = HMMParams.from_defaults(nucleo=False)
+
+    def factory():
+        return MPC(refine_iters=2, mega=mega)
+
+    os.environ["MUSCLE_TPU_BATCH_CLUSTERS"] = "0"
+    try:
+        serial = run_clusters_batched(subs, hp, "amino", factory)
+    finally:
+        del os.environ["MUSCLE_TPU_BATCH_CLUSTERS"]
+    batched = run_clusters_batched(subs, hp, "amino", factory)
+    for i, (a, b) in enumerate(zip(serial, batched)):
+        assert a.to_fasta_text() == b.to_fasta_text(), f"shrub {i}"
+
+
 def test_singleton_passthrough():
     ms = MultiSequence.from_fasta(FA)
     sub = MultiSequence(list(ms)[:1])
