@@ -37,12 +37,13 @@ def consistency_precision_for(n: int, requested: str = "auto") -> str:
 
     'auto' keeps full-f32 (HIGHEST, 6-pass bf16 emulation) on small
     families — the regime where column-identity with the reference
-    binary is pinned by the golden tier — and drops to single-pass
-    bf16 on scale configs (n >= 64), measured 4x faster per iteration
-    (88.5 -> 22.3 s at N=200/L=512 on chip) with posterior products
-    perturbed ~0.4% before the O(N) z-averaging; the consistency
-    transform is itself a heuristic averaging step, and the scale
-    tiers claim Q-quality, not bit-parity. Override:
+    binary is pinned by the golden tier (largest golden family n=14;
+    the gate sits at the dense-path boundary, n < 32) — and drops to
+    single-pass bf16 on scale configs, measured 4x faster per
+    iteration (88.5 -> 22.3 s at N=200/L=512 on chip) with posterior
+    products perturbed ~0.4% before the O(N) z-averaging; the
+    consistency transform is itself a heuristic averaging step, and
+    the scale tiers claim Q-quality, not bit-parity. Override:
     MUSCLE_TPU_CONS_PRECISION=highest|default|high."""
     import os
     env = os.environ.get("MUSCLE_TPU_CONS_PRECISION")
@@ -50,7 +51,7 @@ def consistency_precision_for(n: int, requested: str = "auto") -> str:
         return env
     if requested != "auto":
         return requested
-    return "highest" if n < 64 else "default"
+    return "highest" if n < 32 else "default"
 
 
 def device_refine(n: int) -> bool:
