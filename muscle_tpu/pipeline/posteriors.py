@@ -338,6 +338,14 @@ def all_pairs_posteriors_sparse(codes: np.ndarray, lens: np.ndarray,
     if backend == "auto":
         backend = default_backend()
     if codes.shape[1] > LONG_PAIR_THRESHOLD:
+        if not sync:
+            # callers using sync=False for pipelining (PProg prefetch)
+            # silently lose the overlap here — the long-pair path is
+            # host-driven and fully synchronous (ADVICE r4)
+            from ..utils.logging import log_once
+            log_once("long-pair sparse store is host-driven: async "
+                     "dispatch degrades to synchronous (L=%d > %d)"
+                     % (codes.shape[1], LONG_PAIR_THRESHOLD))
         return _long_pairs_sparse(codes, lens, pack, pairs, k)
     import jax
     n_dev = len(jax.devices())

@@ -285,7 +285,13 @@ class PProg:
         del node_glob
 
         store_async = getattr(self.aligner, "sparse_store_async", None)
-        lookahead = int(os.environ.get("MUSCLE_TPU_PPROG_PREFETCH", "1"))
+        try:
+            lookahead = int(
+                os.environ.get("MUSCLE_TPU_PPROG_PREFETCH", "1"))
+        except ValueError:
+            mlog.log("PProg: bad MUSCLE_TPU_PPROG_PREFETCH, using 1")
+            lookahead = 1
+        lookahead = max(0, lookahead)
         pending: dict[int, tuple | None] = {}
 
         def _dispatch(k):
@@ -299,6 +305,18 @@ class PProg:
         for k in range(min(lookahead + 1, njoin)):
             _dispatch(k)
 
+        try:
+            return self._run_guide_tree_joins(
+                node_msas, idx1, idx2, njoin, plan, pending, lookahead,
+                _dispatch)
+        finally:
+            # an exception mid-tree must not strand up to lookahead+1
+            # full (P+1, L, K) device buffers for the process lifetime
+            pending.clear()
+
+    def _run_guide_tree_joins(self, node_msas, idx1, idx2, njoin, plan,
+                              pending, lookahead, _dispatch):
+        from ..utils import logging as mlog
         for k in range(njoin):
             mlog.log("PProg join %d/%d", k + 1, njoin)
             m1 = node_msas[idx1[k]]

@@ -40,6 +40,18 @@ def progress(fmt: str, *args) -> None:
     log(msg)
 
 
+_once_seen: set[str] = set()
+
+
+def log_once(fmt: str, *args) -> None:
+    """progress(), but each distinct message is emitted at most once
+    per process (for per-dispatch fallback warnings in hot loops)."""
+    msg = fmt % args if args else fmt
+    if msg not in _once_seen:
+        _once_seen.add(msg)
+        progress(msg)
+
+
 @contextmanager
 def stage(name: str):
     """Timed pipeline stage; writes elapsed time to the transcript."""
