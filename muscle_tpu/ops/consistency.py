@@ -313,10 +313,11 @@ def _dummy_block(dump, blk, nb, group=1):
             np.full((blk, gw), dump, np.int32))
 
 
-def consistency_sparse(vals, cols, n: int, iters: int, *,
-                       seq_block: int = 16, precision: str = "highest",
-                       wave: int | None = None, mesh=None,
-                       max_nnz: int | None = None):
+def consistency_sparse_blocked(vals, cols, n: int, iters: int, *,
+                               seq_block: int = 16,
+                               precision: str = "highest",
+                               wave: int | None = None, mesh=None,
+                               max_nnz: int | None = None):
     """Run `iters` consistency iterations over the device sparse store.
 
     vals/cols: (>= P+1, L, K) device arrays in canonical pair order;
@@ -426,6 +427,314 @@ def consistency_sparse(vals, cols, n: int, iters: int, *,
                               jnp.asarray(w[0]), jnp.asarray(w[1]),
                               jnp.asarray(w[2]), jnp.asarray(w[3]),
                               jnp.asarray(w[4]), inv_n)
+                break
+            except Exception as e:
+                if attempt >= retries or not is_transient(e):
+                    raise
+                delay = 10.0 * (2 ** attempt)
+                mlog.progress(
+                    "transient device error in consistency (%s); "
+                    "restarting iteration %d/%d in %.0fs",
+                    str(e).splitlines()[0][:120], attempt + 1, retries,
+                    delay)
+                _time.sleep(delay)
+        vals = out
+    if k < k_full:
+        vals = jnp.pad(vals, ((0, 0), (0, 0), (0, k_full - k)))
+    return vals
+
+
+# ---------------------------------------------------------------------------
+# Gram-scheme consistency — the default path
+# ---------------------------------------------------------------------------
+#
+# M is SYMMETRIC as a plain matrix: block (y, x) = block (x, y)^T (the
+# store holds P_XY for x < y; M's lower blocks are their transposes and
+# the diagonal is I), hence M @ M = M^T M is a GRAM matrix. That means
+# each Z row-panel M[Z, :] can be densified ONCE per z-tile and serve
+# every output block as BOTH operands:
+#
+#     out[X, Y] += M[X, Z] @ M[Z, Y] = RZ[:, X]^T @ RZ[:, Y]
+#
+# The blocked path above re-densifies both operand panels per output
+# block — bx*t + t*by slab expansions per (block, z-step), each a full
+# HBM round trip of an (m, L, L) slab per K compare pass. At N=200,
+# L=512 that is ~1.1M slab expansions per iteration vs ~4k here
+# (~270x), and the round-4 profile (docs/PARITY.md) shows exactly that
+# expansion traffic dominating the ~240 s consistency wall. Here the
+# matmuls — the irreducible O(N^3 L^3 / blk^3) MXU work — are the only
+# O(N^2)-per-z cost; z-tiles beyond N are skipped host-side (no ladder
+# padding waste in the contraction), and partial sums accumulate
+# straight into the fixed sparsity pattern (f32 scatter-add on the
+# (P, L, K) store), so no dense (N*L)^2 accumulator ever exists.
+# Reference semantics unchanged: src/relaxflat.cpp:4-94,
+# src/mysparsemx.cpp:88-113 (rewrite-through-old-offsets).
+
+
+def _slab_expand(vals, cols, ids, flags, l: int, mode: str):
+    """(m,) store ids + orientation flags -> (m, l, l) dense slabs."""
+    v = jnp.where(cols[ids] >= 0, vals[ids], 0.0)
+    m = ids.shape[0]
+    eye = jnp.eye(l, dtype=jnp.float32)
+    if mode == "pallas":
+        from .sparse import densify_pallas
+        d = densify_pallas(v, cols[ids], l)
+    elif mode == "compare":
+        # K compare-accumulate passes (see _block_core for the
+        # scan-vs-unroll memory rationale)
+        c = cols[ids]
+        jcol = jnp.arange(l, dtype=c.dtype)[None, None, :]
+        vk = jnp.moveaxis(v, -1, 0)[:, :, :, None]
+        ck = jnp.moveaxis(c, -1, 0)[:, :, :, None]
+
+        def kstep(d, vc):
+            vs, cs = vc
+            return d + vs * (cs == jcol), None
+
+        d, _ = jax.lax.scan(kstep, jnp.zeros((m, l, l), jnp.float32),
+                            (vk, ck), unroll=8)
+    else:  # scatter (CPU-friendly)
+        c = jnp.where(cols[ids] >= 0, cols[ids], 0)
+        ri = jnp.arange(l)[None, :, None]
+        d = jnp.zeros((m, l, l), jnp.float32)
+        d = d.at[jnp.arange(m)[:, None, None], ri, c].add(v)
+    d = jnp.where((flags == FLAG_TRANS)[:, None, None],
+                  jnp.swapaxes(d, -1, -2), d)
+    d = jnp.where((flags == FLAG_EYE)[:, None, None], eye[None], d)
+    return d
+
+
+@partial(jax.jit, static_argnames=("t", "l", "mode", "bf16", "cb"))
+def _densify_rowpanel(vals, cols, pids, flags, t: int, l: int,
+                      mode: str, bf16: bool = False, cb: int = 16):
+    """(t, NBP) z-tile maps -> (t*l, NBP*l) dense row panel of M.
+
+    mode "fused" (TPU default): masked-reduction expansion XLA fuses
+    into one pass per chunk. All modes run as chunked XLA expansion —
+    column chunks of `cb` blocks inside a fori_loop (the all-at-once expansion would
+    materialize t*NBP (l, l) slabs — 140 GB of intermediates at N=200)
+    with in-place updates of the panel. NBP must be a multiple of cb
+    (the caller dump-pads).
+    """
+    nbp = pids.shape[1]
+    assert nbp % cb == 0, (nbp, cb)
+    dtype = jnp.bfloat16 if bf16 else jnp.float32
+    jcol = jnp.arange(l, dtype=jnp.int32)[None, None, None, :]
+
+    def chunk(ci, rz):
+        pc = jax.lax.dynamic_slice(pids, (0, ci * cb), (t, cb))
+        fc = jax.lax.dynamic_slice(flags, (0, ci * cb), (t, cb))
+        if mode == "fused":
+            # masked-reduction densify: XLA fuses the virtual
+            # (m, l, K, l) compare+mul+sum into ONE pass writing the
+            # (m, l, l) slabs — measured 55 ms/panel vs 563 ms for the
+            # K-pass scan at N=200/L=512 (the scan re-reads its HBM
+            # accumulator every pass)
+            ids = pc.reshape(-1)
+            fls = fc.reshape(-1)
+            v = jnp.where(cols[ids] >= 0, vals[ids], 0.0)
+            c = cols[ids]
+            d = (v[:, :, :, None] * (c[:, :, :, None] == jcol)) \
+                .sum(axis=2).astype(dtype)
+            d = jnp.where((fls == FLAG_TRANS)[:, None, None],
+                          jnp.swapaxes(d, -1, -2), d)
+            d = jnp.where((fls == FLAG_EYE)[:, None, None],
+                          jnp.eye(l, dtype=dtype)[None], d)
+        else:
+            d = _slab_expand(vals, cols, pc.reshape(-1),
+                             fc.reshape(-1), l, mode).astype(dtype)
+        blkm = d.reshape(t, cb, l, l).transpose(0, 2, 1, 3) \
+                .reshape(t * l, cb * l)
+        return jax.lax.dynamic_update_slice(rz, blkm, (0, ci * cb * l))
+
+    rz = jnp.zeros((t * l, nbp * l), dtype)
+    return jax.lax.fori_loop(0, nbp // cb, chunk, rz)
+
+
+def _gram_wave_impl(rz, cols, out_vals, bis, bj0s, pos, inv_n,
+                    blk: int, gw: int, t: int, l: int, precision: str):
+    """One z-tile's contribution for a wave of output rectangles.
+
+    rz: (t*l, NBP*l) dense row panel. bis/bj0s: (W,) row/col BLOCK
+    indices of each rectangle; pos: (W, blk, gw) output pair ids (dump
+    for invalid). Accumulates into out_vals through the fixed pattern.
+    """
+
+    def one(bi, bj0, po):
+        a = jax.lax.dynamic_slice(rz, (0, bi * blk * l),
+                                  (t * l, blk * l))
+        b = jax.lax.dynamic_slice(rz, (0, bj0 * blk * l),
+                                  (t * l, gw * l))
+        prod = jnp.dot(a.T, b, precision=precision,
+                       preferred_element_type=jnp.float32)
+        # sparsify through the fixed pattern by compare-reduce rather
+        # than gather: each row has unique col indices, so the masked
+        # sum selects exactly the gathered value (bit-identical), and
+        # XLA fuses it into one pass over prod — measured 19 ms/rect
+        # vs 51 ms for transpose+take_along_axis at N=200, L=512
+        pr = prod.reshape(blk * l, gw, l)
+        cxy = cols[po.reshape(-1)]                   # (blk*gw, l, K)
+        kk = cxy.shape[-1]
+        cr = cxy.reshape(blk, gw, l, kk).transpose(0, 2, 1, 3) \
+                .reshape(blk * l, gw, kk)
+        jcol = jnp.arange(l, dtype=cr.dtype)[None, None, :, None]
+        mask = cr[:, :, None, :] == jcol             # (blk*l, gw, l, K)
+        g = (pr[:, :, :, None] * mask).sum(axis=2)   # (blk*l, gw, K)
+        g = g.reshape(blk, l, gw, kk).transpose(0, 2, 1, 3) \
+             .reshape(blk * gw, l, kk)
+        return jnp.where(cxy >= 0, g * inv_n, 0.0)
+
+    newv = jax.vmap(one)(bis, bj0s, pos)
+    k = cols.shape[2]
+    # pattern ids are disjoint across rectangles (dump slots excepted,
+    # which add exact zeros), so the scatter-add order is irrelevant
+    return out_vals.at[pos.reshape(-1)].add(newv.reshape(-1, l, k))
+
+
+_gram_wave = partial(jax.jit,
+                     static_argnames=("blk", "gw", "t", "l",
+                                      "precision"),
+                     donate_argnames=("out_vals",))(_gram_wave_impl)
+
+
+def consistency_sparse(vals, cols, n: int, iters: int, *,
+                       seq_block: int = 16, precision: str = "highest",
+                       wave: int | None = None, mesh=None,
+                       max_nnz: int | None = None):
+    """Run `iters` consistency iterations over the device sparse store.
+
+    Same contract as consistency_sparse_blocked (vals/cols layout, dump
+    row, mesh sharding, reference rewrite-through-pattern semantics);
+    the Gram scheme is the default — MUSCLE_TPU_CONS_IMPL=blocked
+    selects the old per-block densify path.
+    """
+    import os
+    if os.environ.get("MUSCLE_TPU_CONS_IMPL") == "blocked":
+        return consistency_sparse_blocked(
+            vals, cols, n, iters, seq_block=seq_block,
+            precision=precision, wave=wave, mesh=mesh, max_nnz=max_nnz)
+
+    p1, l, k = vals.shape
+    k_full = k
+    if max_nnz is not None and max(8, -(-int(max_nnz) // 8) * 8) < k:
+        k = max(8, -(-int(max_nnz) // 8) * 8)
+        vals = vals[:, :, :k]
+        cols = cols[:, :, :k]
+    n_pairs = n * (n - 1) // 2
+    dump = p1 - 1
+    assert n_pairs <= dump
+    blk = min(seq_block, max(1, n))
+    nblk_real = -(-n // blk)
+    # rectangle width (in column blocks): keep the B operand near 16k
+    # lanes so each matmul is wide enough to amortize the A panel read
+    group = max(1, 16384 // max(1, blk * l))
+    if os.environ.get("MUSCLE_TPU_CONS_GROUP"):
+        group = max(1, int(os.environ["MUSCLE_TPU_CONS_GROUP"]))
+    group = min(group, nblk_real)
+    gw = group * blk
+    # panel width: ladder-bucketed (compile reuse across cluster runs)
+    # + rectangle overhang, rounded to the densify chunk width; only
+    # the densify pays for the padding — the z loop below covers REAL
+    # tiles only
+    # chunk width: bound each expansion chunk's (blk*cb, l, l) slab
+    # stack at ~256 MB
+    cb = max(1, (64 << 20) // max(1, l * l * blk))
+    nbp = _nb_bucket(n, blk) + (group - 1) * blk
+    nbp = -(-nbp // cb) * cb
+    pid, flag = _block_maps(n, nbp, dump)
+
+    bis, bj0s, pos = [], [], []
+    for bi in range(nblk_real):
+        for bj0 in range(bi, nblk_real, group):
+            po = np.full((blk, gw), dump, np.int32)
+            for a in range(bi * blk, min((bi + 1) * blk, n)):
+                for b in range(max(bj0 * blk, a + 1),
+                               min((bj0 + group) * blk, n)):
+                    po[a - bi * blk, b - bj0 * blk] = \
+                        pair_index(a, b, n)
+            bis.append(bi)
+            bj0s.append(bj0)
+            pos.append(po)
+    bis = np.asarray(bis, np.int32)
+    bj0s = np.asarray(bj0s, np.int32)
+    pos = np.stack(pos).astype(np.int32)
+    n_rects = len(bis)
+
+    bf16 = precision == "default"
+    n_dev = 1
+    if mesh is not None:
+        n_dev = int(np.prod(list(mesh.shape.values())))
+    if wave is None:
+        # one rect per device per dispatch: the LOCAL batch width
+        # changes how XLA lowers the dot (different f32 reduction
+        # order), so keeping it at 1 in every configuration makes
+        # single-device, 1-D-mesh and 2-D-mesh results BIT-IDENTICAL
+        # (measured: W=4 vs W=1 differ by 1 ulp; W=1 vs 8-dev mesh
+        # local-1 are equal). Dispatches are enqueued async, so the
+        # smaller wave costs no wall-clock on chip.
+        wave = n_dev
+    elif mesh is not None:
+        wave = -(-wave // n_dev) * n_dev
+    inv_n = jnp.float32(1.0 / n)
+    densify_mode = os.environ.get("MUSCLE_TPU_CONS_DENSIFY") or \
+        ("scatter" if jax.default_backend() == "cpu" else "fused")
+
+    if mesh is None:
+        def run(rz, out, bi_w, bj_w, po_w):
+            return _gram_wave(rz, cols, out, bi_w, bj_w, po_w, inv_n,
+                              blk=blk, gw=gw, t=blk, l=l,
+                              precision=precision)
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        blk_sh = NamedSharding(mesh, P(tuple(mesh.axis_names)))
+        rep = NamedSharding(mesh, P())
+
+        def _fixed(rz_, cols_, out_, bi_, bj_, po_, inv_n_):
+            return _gram_wave_impl(rz_, cols_, out_, bi_, bj_, po_,
+                                   inv_n_, blk=blk, gw=gw, t=blk, l=l,
+                                   precision=precision)
+
+        run_sh = jax.jit(_fixed, donate_argnums=(2,),
+                         in_shardings=(rep, rep, rep, blk_sh, blk_sh,
+                                       blk_sh, rep),
+                         out_shardings=rep)
+
+        def run(rz, out, bi_w, bj_w, po_w):
+            return run_sh(rz, cols, out, bi_w, bj_w, po_w, inv_n)
+
+    # retry at the ITERATION level (the wave donates the accumulator;
+    # vals/cols are never donated, so restarting from fresh zeros is
+    # always safe — see consistency_sparse_blocked)
+    from ..utils import logging as mlog
+    from ..utils.devretry import is_transient
+    import time as _time
+    dmy_po = np.full((blk, gw), dump, np.int32)
+    retries = 5
+    for _ in range(iters):
+        for attempt in range(retries + 1):
+            out = jnp.zeros_like(vals)
+            try:
+                for zi in range(nblk_real):
+                    rz = _densify_rowpanel(
+                        vals, cols,
+                        jnp.asarray(pid[zi * blk:(zi + 1) * blk]),
+                        jnp.asarray(flag[zi * blk:(zi + 1) * blk]),
+                        t=blk, l=l, mode=densify_mode, bf16=bf16,
+                        cb=cb)
+                    for lo in range(0, n_rects, wave):
+                        bi_w = bis[lo:lo + wave]
+                        bj_w = bj0s[lo:lo + wave]
+                        po_w = pos[lo:lo + wave]
+                        pad = wave - len(bi_w)
+                        if pad:
+                            bi_w = np.concatenate(
+                                [bi_w, np.zeros(pad, np.int32)])
+                            bj_w = np.concatenate(
+                                [bj_w, np.zeros(pad, np.int32)])
+                            po_w = np.concatenate(
+                                [po_w, np.stack([dmy_po] * pad)])
+                        out = run(rz, out, jnp.asarray(bi_w),
+                                  jnp.asarray(bj_w), jnp.asarray(po_w))
                 break
             except Exception as e:
                 if attempt >= retries or not is_transient(e):

@@ -129,6 +129,28 @@ def test_consistency_sparse_matches_dense():
     assert np.abs(got - dense_out).max() < 2e-5
 
 
+def test_consistency_gram_matches_blocked():
+    """Gram-scheme path (default) vs the per-block densify path — same
+    math in different association; must agree to f32 accumulation
+    noise across non-divisible N, rectangles, and K-trimmed stores."""
+    from muscle_tpu.ops import sparse as sp
+    rng = np.random.default_rng(11)
+    n, l, k = 11, 32, 8
+    pairs, post = _random_sparse_posts(rng, n, l)
+    vals, cols, mx = sp.sparsify(jnp.asarray(post), k)
+    store_v = jnp.concatenate([vals, jnp.zeros((1, l, k), jnp.float32)])
+    store_c = jnp.concatenate([cols, jnp.full((1, l, k), -1, jnp.int32)])
+    for precision in ("highest", "default"):
+        gram = np.asarray(cons.consistency_sparse(
+            store_v, store_c, n, 2, seq_block=4, precision=precision,
+            max_nnz=int(mx)))
+        blocked = np.asarray(cons.consistency_sparse_blocked(
+            store_v, store_c, n, 2, seq_block=4, precision=precision,
+            max_nnz=int(mx)))
+        assert np.abs(gram[:-1] - blocked[:-1]).max() < \
+            (1e-5 if precision == "highest" else 5e-2), precision
+
+
 def test_consistency_sparse_sharded_matches_single():
     """Mesh-sharded wave (8 virtual devices) == single-device result."""
     import jax
