@@ -274,29 +274,36 @@ def main():
     setup_jax()
     # primary metric is measured FIRST (fast, and protected against a
     # harness timeout during the slow wall-clock configs) and printed
-    # BOTH first and last — the driver parses the LAST line, so even if
-    # the process is killed mid-way through a slow secondary config the
-    # most recent line is still a valid metric.
+    # first and RE-EMITTED AFTER EVERY CONFIG — the driver parses the
+    # LAST line, so a kill at ANY point still leaves a throughput
+    # metric as the parsed record (BENCH_r04's rc=124 recorded a
+    # diagnostic ratio because the re-emit only happened at the end).
     value, ratio = bench_pairhmm()
     emit("pairhmm_cells_per_sec", value, "cells/s", ratio)
     full = os.environ.get("BENCH_FULL", "1") != "0"
-    budget = float(os.environ.get("BENCH_BUDGET_S", 2400))
+    # r4's run was killed by the driver ~30 min in; budget the
+    # secondary configs to fit with margin. Configs carry a cost
+    # estimate (warm-cache, this chip) and are skipped unless the
+    # remaining budget covers them — a started config overshooting the
+    # wall is exactly how r4 died.
+    budget = float(os.environ.get("BENCH_BUDGET_S", 1400))
     t_start = time.perf_counter()
     if full:
-        for name, fn in (("mpc200", bench_mpc200),
-                         ("ensemble", bench_ensemble_strat),
-                         ("scaling", bench_scaling_cpu),
-                         ("super5", bench_super5_512),
-                         ("super7_1k", bench_super7_1k),
-                         ("mpc1000", bench_mpc1000)):
-            if time.perf_counter() - t_start > budget:
-                print(f"# skipping {name}: bench budget exceeded",
-                      file=sys.stderr)
+        for name, fn, est in (("mpc200", bench_mpc200, 500),
+                              ("ensemble", bench_ensemble_strat, 70),
+                              ("super5", bench_super5_512, 500),
+                              ("scaling", bench_scaling_cpu, 150),
+                              ("super7_1k", bench_super7_1k, 1600),
+                              ("mpc1000", bench_mpc1000, 3600)):
+            if time.perf_counter() - t_start + est > budget:
+                print(f"# skipping {name}: ~{est}s doesn't fit the "
+                      f"remaining bench budget", file=sys.stderr)
                 continue
             try:
                 fn()
             except Exception as e:
                 print(f"# {name} failed: {e}", file=sys.stderr)
+            emit("pairhmm_cells_per_sec", value, "cells/s", ratio)
     emit("pairhmm_cells_per_sec", value, "cells/s", ratio)
 
 

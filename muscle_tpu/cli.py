@@ -103,6 +103,8 @@ def parse_args(argv: list[str]) -> tuple[str | None, str | None, dict]:
         "m3ensemble", "m3select", "m3refine",
         "strip_gappy_cols", "strip_gappy_rows", "relabel", "trimtoref",
         "make_a2m", "squeeze_inserts", "core_blocks",
+        "derep", "uclust", "transaln", "shrub", "swdistmx", "hmmdump",
+        "perturbhmm", "masm_train", "masm_stats", "swmasm",
     }
     bool_opts = {"stratified", "diversified", "quiet", "nt", "amino",
                  "input_order", "tree_order", "verbose", "bysequence",
@@ -230,6 +232,26 @@ def _dispatch(cmd: str, arg1: str, opts: dict) -> int:
         return _cmd_upgma5(arg1, opts)
     if cmd in ("bench", "bench_blosums", "sweep", "spatter"):
         return _cmd_bench3(cmd, arg1, opts)
+    if cmd == "derep":
+        return _cmd_derep(arg1, opts)
+    if cmd == "uclust":
+        return _cmd_uclust(arg1, opts)
+    if cmd == "transaln":
+        return _cmd_transaln(arg1, opts)
+    if cmd == "shrub":
+        return _cmd_shrub(arg1, opts)
+    if cmd == "swdistmx":
+        return _cmd_swdistmx(arg1, opts)
+    if cmd == "hmmdump":
+        return _cmd_hmmdump(arg1, opts)
+    if cmd == "perturbhmm":
+        return _cmd_perturbhmm(arg1, opts)
+    if cmd == "masm_train":
+        return _cmd_masm_train(arg1, opts)
+    if cmd == "masm_stats":
+        return _cmd_masm_stats(arg1, opts)
+    if cmd == "swmasm":
+        return _cmd_swmasm(arg1, opts)
     raise SystemExit(f"unknown command -{cmd}")
 
 
@@ -927,6 +949,216 @@ def _cmd_cmp_ref_msas(arg1: str, opts: dict) -> int:
     q = float(np.mean(qs)) if qs else 0.0
     print(f"@CMP_REF_MSAs test={arg1} ref={ref_path} name={name} "
           f"cols={len(qs)} Q={q:.4f}")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# Standalone stage commands (reference: src/cmds.h dev surface)
+# ---------------------------------------------------------------------------
+
+def _cmd_derep(arg1: str, opts: dict) -> int:
+    """Write the unique (dereplicated) sequences (reference:
+    cmd_derep, src/derep.cpp:226-241)."""
+    from .pipeline.derep import Derep
+    from .sequence import MultiSequence
+    seqs = MultiSequence.from_fasta(arg1)
+    d = Derep()
+    d.run(seqs)
+    d.unique_seqs(seqs).write_fasta(opts["output"])
+    return 0
+
+
+def _cmd_uclust(arg1: str, opts: dict) -> int:
+    """Greedy EA-threshold clustering; writes centroid sequences
+    (reference: cmd_uclust, src/uclust.cpp:183-206)."""
+    from .alphabet import ALPHA_AMINO, ALPHA_NUCLEO, guess_is_nucleo
+    from .hmm.params import HMMParams
+    from .pipeline.pairwise import PairAligner
+    from .pipeline.uclust import UClust
+    from .sequence import MultiSequence
+    from .utils.rng import MwcRng
+    seqs = MultiSequence.from_fasta(arg1)
+    min_ea = float(opts.get("minea", 0.9))
+    nucleo = guess_is_nucleo(seqs, MwcRng(1))
+    alpha = ALPHA_NUCLEO if nucleo else ALPHA_AMINO
+    pack = HMMParams.from_defaults(nucleo=nucleo).to_scores()
+    aligner = PairAligner(list(seqs), pack, alpha)
+    uc = UClust(aligner, alpha)
+    centroid_idx, _assign, _paths = uc.run(seqs, min_ea)
+    MultiSequence([seqs[i] for i in centroid_idx]) \
+        .write_fasta(opts["output"])
+    return 0
+
+
+def _cmd_transaln(arg1: str, opts: dict) -> int:
+    """Transitively align fresh sequences onto an existing MSA: each
+    input is pair-aligned (pair-HMM + MEA) to ungapped reference row
+    i % ref_count and merged through the transitive path machinery
+    (reference: cmd_transaln, src/transaln.cpp:752-810)."""
+    from .alphabet import ALPHA_AMINO, ALPHA_NUCLEO, guess_is_nucleo
+    from .hmm.params import HMMParams
+    from .pipeline.pairwise import PairAligner
+    from .pipeline.transaln import make_extended_msa
+    from .sequence import MultiSequence, Sequence
+    from .utils.rng import MwcRng
+    fresh = MultiSequence.from_fasta(arg1)
+    ref_msa = MultiSequence.from_fasta(opts["ref"])
+    nref = len(ref_msa)
+    ungapped = [Sequence(s.label,
+                         s.bytes_view()[s.bytes_view() != ord("-")])
+                for s in ref_msa]
+    nucleo = guess_is_nucleo(fresh, MwcRng(1))
+    alpha = ALPHA_NUCLEO if nucleo else ALPHA_AMINO
+    pack = HMMParams.from_defaults(nucleo=nucleo).to_scores()
+    aligner = PairAligner(list(fresh) + ungapped, pack, alpha)
+    idx = [i % nref for i in range(len(fresh))]
+    results = aligner.align_pairs(
+        [(k, len(fresh) + idx[k]) for k in range(len(fresh))])
+    paths = [p for _ea, p in results]
+    out = make_extended_msa(ref_msa, list(fresh), idx, paths)
+    out.write_fasta(opts["output"])
+    return 0
+
+
+def _cmd_shrub(arg1: str, opts: dict) -> int:
+    """Report the shrub decomposition of a guide tree: non-overlapping
+    subtrees of <= n leaves covering all leaves (reference: cmd_shrub,
+    src/shrub.cpp:39-92)."""
+    from .pipeline.super7 import get_shrubs
+    from .tree.tree import Tree
+    tree = Tree.from_file(arg1)
+    n = int(opts.get("n", 32))
+    lcas = get_shrubs(tree, n)
+    total = 0
+    for i, lca in enumerate(lcas):
+        leaves = tree.subtree_leaves(lca)
+        total += len(leaves)
+        print(f"shrub {i}: node {lca}, {len(leaves)} leaves: "
+              + ",".join(leaves))
+    assert total == len(tree.leaf_labels())
+    print(f"{len(lcas)} shrubs, {total} leaves, max size {n}")
+    return 0
+
+
+def _cmd_swdistmx(arg1: str, opts: dict) -> int:
+    """SW-BLOSUM62 guide tree (device-batched all-pairs local
+    alignment similarities -> rescale -> UPGMA avg); writes Newick
+    (reference: cmd_swdistmx, src/swdistmx.cpp:129-137)."""
+    from .alphabet import ALPHA_AMINO
+    from .ops.sw import sw_dist_matrix
+    from .sequence import MultiSequence
+    from .tree.upgma import LINKAGE_AVG, scale_dist_mx, upgma5
+    seqs = MultiSequence.from_fasta(arg1)
+    sim = sw_dist_matrix(list(seqs), ALPHA_AMINO)
+    tree = upgma5(seqs.labels(), scale_dist_mx(sim), LINKAGE_AVG)
+    with open(opts["guidetreeout"], "w") as f:
+        f.write(tree.to_newick() + "\n")
+    return 0
+
+
+def _cmd_hmmdump(arg1: str, opts: dict) -> int:
+    """Dump the HMM parameter set to a directory: defaults (hmm.tsv),
+    a serialization round trip (hmm2/hmm3.tsv, byte-identical), and
+    the single-affine collapse (sa.hmm) (reference: cmd_hmmdump,
+    src/hmmdump.cpp:257-284)."""
+    import os as _os
+    from .hmm.params import HMMParams
+    outdir = arg1
+    _os.makedirs(outdir, exist_ok=True)
+    hp = HMMParams.from_defaults(nucleo=bool(opts.get("nt")))
+    hp.to_file(_os.path.join(outdir, "hmm.tsv"))
+    hp.to_file(_os.path.join(outdir, "hmm2.tsv"))
+    hp2 = HMMParams.from_file(_os.path.join(outdir, "hmm2.tsv"))
+    hp2.to_file(_os.path.join(outdir, "hmm3.tsv"))
+    sa = _single_affine(hp2)
+    sa.to_file(_os.path.join(outdir, "sa.hmm"))
+    return 0
+
+
+def _single_affine(hp):
+    """Average the short/long gap tracks into one affine class
+    (reference: HMMParams::ToSingleAffineProbs,
+    src/hmmparams.cpp:52-77)."""
+    from .hmm.params import HMMParams, TRANS_NAMES
+    t = {n: float(v) for n, v in zip(TRANS_NAMES, hp.trans)}
+    si = (t["START_IS"] + t["START_IL"]) / 2
+    mi = (t["M_IS"] + t["M_IL"]) / 2
+    im = (t["IS_M"] + t["IL_M"]) / 2
+    ii = (t["IS_IS"] + t["IL_IL"]) / 2
+    t.update(START_IS=si, START_IL=si, M_IS=mi, M_IL=mi,
+             IS_M=im, IL_M=im, IS_IS=ii, IL_IL=ii)
+    import numpy as np
+    trans = np.array([t[n] for n in TRANS_NAMES], dtype=np.float32)
+    return HMMParams(hp.alpha, trans, hp.emits, hp.var)
+
+
+def _cmd_perturbhmm(arg1: str, opts: dict) -> int:
+    """Perturbation-stream diagnostic: for each seed, perturb the
+    default parameters and report mean |delta| of transitions and
+    emissions vs the defaults (reference: cmd_perturbhmm,
+    src/perturbhmm.cpp:68-99)."""
+    import numpy as np
+    from .hmm.params import HMMParams
+    from .utils import logging as mlog
+    iters = int(arg1)
+    nucleo = bool(opts.get("nt"))
+    base = HMMParams.from_defaults(nucleo=nucleo)
+    for it in range(iters):
+        hp = HMMParams.from_defaults(nucleo=nucleo)
+        hp.perturb(it)
+        dt = float(np.abs(base.trans - hp.trans).mean())
+        de = float(np.abs(base.emits - hp.emits).mean())
+        mlog.progress("Iter %u, trans %8.6f, emit %8.6f", it, dt, de)
+    return 0
+
+
+def _cmd_masm_train(arg1: str, opts: dict) -> int:
+    """Train a MASM (masked alignment scoring model) from an aligned
+    family + its mega feature profiles (reference: cmd_masm_train,
+    src/masm_train.cpp:18-37)."""
+    import os as _os
+    from .io.mega import parse_mega
+    from .pipeline.masm import MASM
+    from .sequence import MultiSequence
+    aln = MultiSequence.from_fasta(arg1)
+    mega = parse_mega(opts["input"])
+    label = opts.get("label") or _os.path.basename(arg1)
+    MASM.from_msa(aln, mega, label).to_file(opts["output"])
+    return 0
+
+
+def _cmd_masm_stats(arg1: str, opts: dict) -> int:
+    """Print MASM dimensions (reference: cmd_masm_stats,
+    src/masm_train.cpp:4-16)."""
+    from .pipeline.masm import MASM
+    m = MASM.from_file(arg1)
+    feats = " ".join(f"{n}/{a}" for n, a in
+                     zip(m.feature_names, m.alpha_sizes))
+    print(f"{m.seq_count:10d}  Sequences")
+    print(f"{m.col_count:10d}  Columns")
+    print(f"{len(m.feature_names):10d}  Features  {feats}")
+    return 0
+
+
+def _cmd_swmasm(arg1: str, opts: dict) -> int:
+    """Local-align every profile of a mega file against a MASM; write
+    label pairs + SW scores as TSV (reference: cmd_swmasm,
+    src/swmasm.cpp:27-65)."""
+    from .io.mega import parse_mega
+    from .pipeline.masm import MASM
+    m = MASM.from_file(arg1)
+    mega = parse_mega(opts["query"])
+    out_path = opts.get("output")
+    lines = []
+    for lb, prof in zip(mega.labels, mega.profiles):
+        score, _path, _loi, _loj = m.sw_vs_profile(prof)
+        lines.append(f"{m.label}\t{lb}\t{score:.3g}")
+    text = "\n".join(lines) + "\n"
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(text)
+    else:
+        print(text, end="")
     return 0
 
 

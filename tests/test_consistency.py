@@ -151,6 +151,37 @@ def test_consistency_gram_matches_blocked():
             (1e-5 if precision == "highest" else 5e-2), precision
 
 
+def test_consistency_precision_boundary():
+    """The n >= 32 precision gate (pipeline/mpc.py
+    consistency_precision_for) switches the blocked path from full-f32
+    panels to single-pass bf16. Pin the quality of that downgrade AT
+    the boundary (a 40-seq store, the band silently moved in round 4):
+    bf16 values must stay within ~1% relative of the f32 result, and
+    the top-ranked column per row — what MEA alignment consumes — must
+    agree for almost every row."""
+    from muscle_tpu.ops import sparse as sp
+    rng = np.random.default_rng(5)
+    n, l, k = 40, 64, 8
+    pairs, post = _random_sparse_posts(rng, n, l)
+    vals, cols, mx = sp.sparsify(jnp.asarray(post), k)
+    sv = jnp.concatenate([vals, jnp.zeros((1, l, k), jnp.float32)])
+    sc = jnp.concatenate([cols, jnp.full((1, l, k), -1, jnp.int32)])
+    hi = np.asarray(cons.consistency_sparse(
+        sv, sc, n, 2, seq_block=8, precision="highest",
+        max_nnz=int(mx)))[:-1]
+    lo = np.asarray(cons.consistency_sparse(
+        sv, sc, n, 2, seq_block=8, precision="default",
+        max_nnz=int(mx)))[:-1]
+    denom = np.maximum(np.abs(hi), 1e-3)
+    rel = np.abs(hi - lo) / denom
+    assert float(rel.max()) < 2e-2, float(rel.max())
+    # argmax (the entry MEA weights hardest) stable on >= 99% of rows
+    am_hi = hi.argmax(axis=-1)
+    am_lo = lo.argmax(axis=-1)
+    agree = (am_hi == am_lo).mean()
+    assert agree >= 0.99, agree
+
+
 def test_consistency_sparse_sharded_matches_single():
     """Mesh-sharded wave (8 virtual devices) == single-device result."""
     import jax

@@ -42,8 +42,17 @@ FAMILIES = sorted(GOLDEN_SEQ)
 
 
 # workloads with established column-identity to the reference binary —
-# these must stay bit-identical, no score fallback allowed
-IDENTICAL_REQUIRED = {"BB11001.seq.afa", "BB11001.mega.afa"}
+# these must stay bit-identical, no score fallback allowed (all 13
+# currently-identical workloads pinned per VERDICT r4: without the pin
+# a numerics change could silently degrade them to score-parity).
+# BB11005 (both tiers) is the lone score-parity workload — see
+# docs/PARITY.md "BB11005 divergence analysis".
+IDENTICAL_REQUIRED = {
+    f"{fam}.{kind}.afa"
+    for fam in ("BB11001", "BB11002", "BB11004", "BB11006",
+                "BB11007", "BB11009")
+    for kind in ("seq", "mega")
+}
 
 
 def _check(msa, fam, golden_file, gq, gtc, by_sequence=False):

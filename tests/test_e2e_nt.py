@@ -18,7 +18,6 @@ import os
 
 import pytest
 
-from muscle_tpu.qscore import qscore
 from muscle_tpu.sequence import MultiSequence
 
 DATA = os.path.join(os.path.dirname(__file__), "data", "nt")
@@ -42,9 +41,9 @@ def test_nt_align(fam):
     gold = {s.label: s.text() for s in golden}
     mine = {s.label: s.text() for s in msa}
     assert set(mine) == set(gold)
-    if mine == gold:
-        return
-    q, tc = qscore(msa, golden)
-    assert q >= 0.98 and tc >= 0.90, (
-        f"{fam}: not column-identical to the reference binary and "
-        f"Q/TC {q:.4f}/{tc:.4f} below agreement gate")
+    # all three families have established column-identity to the
+    # reference binary (docs/PARITY.md) — pinned, no score fallback
+    # (VERDICT r4: an unpinned gate can silently degrade to
+    # score-parity)
+    assert mine == gold, \
+        f"{fam}: diverged from established column-identity"
