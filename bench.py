@@ -246,6 +246,20 @@ def bench_scaling_cpu():
     ratio = float(rates["8"]) / float(rates["1"])
     emit("sharding_overhead_8dev_ratio", round(ratio, 3), "x",
          round(ratio, 3))
+    # multi-PROCESS tax (VERDICT r4 item 8): same 8 virtual devices,
+    # one process vs two gloo-joined processes (the DCN code path).
+    # >= 1.0 means the process boundary costs nothing on this workload.
+    r2 = subprocess.run(
+        [sys.executable, "tools/dryrun_distributed.py", "--bench"],
+        capture_output=True, text=True, timeout=1200, env=env)
+    m = re.search(r"distributed_2proc_overhead_ratio ([0-9.]+)",
+                  r2.stdout)
+    if m:
+        emit("distributed_2proc_overhead_ratio",
+             float(m.group(1)), "x", float(m.group(1)))
+    else:
+        print(f"# distributed bench failed: {r2.stdout[-200:]} "
+              f"{r2.stderr[-200:]}", file=sys.stderr)
 
 
 def bench_ensemble_strat():
@@ -292,7 +306,7 @@ def main():
         for name, fn, est in (("mpc200", bench_mpc200, 500),
                               ("ensemble", bench_ensemble_strat, 70),
                               ("super5", bench_super5_512, 500),
-                              ("scaling", bench_scaling_cpu, 150),
+                              ("scaling", bench_scaling_cpu, 280),
                               ("super7_1k", bench_super7_1k, 1600),
                               ("mpc1000", bench_mpc1000, 3600)):
             if time.perf_counter() - t_start + est > budget:

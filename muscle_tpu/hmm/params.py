@@ -204,17 +204,26 @@ class HMMParams:
     def to_scores(self) -> ScorePack:
         k = self.alpha_size
         t = {n: self.trans[_T[n]] for n in TRANS_NAMES}
-        log = lambda x: np.log(x, dtype=f32)
+        # the reference takes C `log` (double) of the f32 probability
+        # and rounds ONCE to f32 (src/hmmparams.cpp ToPairHMM / log());
+        # logging in f32 precision instead lands 1 ulp off on ~10 of
+        # the 400 table entries (measured vs a reference-binary table
+        # dump — docs/PARITY.md BB11005 analysis)
+        log = lambda x: np.log(np.float64(x)).astype(f32)
 
-        # insert scores = log of row marginals (src/hmmparams.cpp:311-327)
-        marg = self.emits.sum(axis=1, dtype=f32)
+        # insert scores = log of row marginals (src/hmmparams.cpp:311-327);
+        # marginal accumulated sequentially in f32 exactly as the
+        # reference's `MarginalProb += P` loop (numpy .sum() is pairwise)
+        marg = np.zeros(k, dtype=f32)
+        for j in range(k):
+            marg += self.emits[:, j].astype(f32)
         wild_ins = log(f32(1.0 / k))
         insert = np.full(k + 1, wild_ins, dtype=f32)
-        insert[:k] = np.log(marg).astype(f32)
+        insert[:k] = log(marg)
 
         wild_match = log(f32(1.0 / k) * f32(1.0 / k))
         match = np.full((k + 1, k + 1), wild_match, dtype=f32)
-        match[:k, :k] = np.log(self.emits).astype(f32)
+        match[:k, :k] = log(self.emits)
 
         start = np.array(
             [log(t["START_M"]), log(t["START_IS"]), log(t["START_IS"]),

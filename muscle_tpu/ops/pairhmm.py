@@ -41,6 +41,13 @@ from .logspace import LOG_ZERO, log_add, log_add5
 MIN_SPARSE_PROB = 0.01                   # reference: src/mysparsemx.h:3
 MIN_SPARSE_SCORE = float(np.log(0.01))   # reference: src/mysparsemx.h:4
 
+# Bit-parity mode: replay the reference's sequential within-row LOG_ADD
+# association instead of the O(log L) tree scan (see _row_affine_scan).
+# Read once at import — the jit cache is keyed by traced code, so a
+# mid-process flip would silently serve stale executables.
+import os as _os
+EXACT_ASSOC = _os.environ.get("MUSCLE_TPU_EXACT_ASSOC") == "1"
+
 
 def _trans_vec(pack):
     """Scalar transition scores as a flat f32 vector for closure capture."""
@@ -53,6 +60,17 @@ def _row_affine_scan(a, c):
     """Solve u_j = LOG_ADD(u_{j-1} + a_j, c_j), u_0 = LOG_ZERO, j = 1..n.
 
     Returns u_1..u_n given a, c of shape (..., n); scan along last axis.
+
+    Association: the O(log L)-depth tree combine evaluates LOGEXP1 at
+    different arguments than the reference's strictly sequential
+    left-to-right LOG_ADD chain, and the cubic's ~1e-5 per-op
+    approximation error is association-dependent — the two orders drift
+    apart by up to ~1e-2 in posterior probability over ~400-column rows
+    (measured; docs/PARITY.md "BB11005 divergence analysis"). The
+    sequential mode (MUSCLE_TPU_EXACT_ASSOC=1, read at import — see
+    _row_affine_scan_exact) replays the reference's exact order: O(L)
+    scan depth, so ~the row length slower in latency and only worth it
+    when bit-parity with the reference binary matters more than speed.
     """
     def combine(x, y):
         a1, c1 = x
@@ -61,6 +79,64 @@ def _row_affine_scan(a, c):
 
     _, u = jax.lax.associative_scan(combine, (a, c), axis=-1)
     return u
+
+
+def _row_affine_scan_exact(t_ext, c_base, emit):
+    """Reference-order within-row recurrence (EXACT_ASSOC mode):
+        u_j = LOG_ADD(u_{j-1} + t_ext, c_base_j) + emit_j,  u_0 = LOG_ZERO
+    i.e. the emission is added AFTER the LOG_ADD (src/fwdflat3.cpp:
+    `LOG_ADD(IY_IY, M_IY) + Emit_y`), unlike the tree formulation which
+    folds it into both operands. 1-D over the row axis (vmap batches);
+    O(L) scan depth."""
+    def step(u, xs):
+        cb, em = xs
+        u2 = log_add(u + t_ext, cb) + em
+        return u2, u2
+
+    u0 = jnp.full((), LOG_ZERO, jnp.float32)
+    _, u = jax.lax.scan(step, u0, (c_base, emit))
+    return u
+
+
+def _row_affine_scan_exact_bwd(t_ext, c_full, emit):
+    """Reference-order backward within-row recurrence (EXACT_ASSOC):
+        u_v = LOG_ADD(t_ext + (u_{v-1} + emit_v), c_full_v),  u_0 = LOG_ZERO
+    (src/bwdflat3.cpp: `IY_IY = tII + NextIY` with
+    `NextIY = IY(i,j+1) + Emit_y` — the transition is added OUTSIDE the
+    emission-extended predecessor)."""
+    def step(u, xs):
+        cf, em = xs
+        u2 = log_add(t_ext + (u + em), cf)
+        return u2, u2
+
+    u0 = jnp.full((), LOG_ZERO, jnp.float32)
+    _, u = jax.lax.scan(step, u0, (c_full, emit))
+    return u
+
+
+def _seq_chain_bwd(first, t_ext, emits):
+    """Reference-order backward boundary chain: u_1 = first;
+    u_{k+1} = t_ext + (u_k + emits_k) (src/bwdflat3.cpp i==LX row)."""
+    def step(u, em):
+        u2 = t_ext + (u + em)
+        return u2, u2
+
+    _, rest = jax.lax.scan(step, first, emits)
+    return jnp.concatenate([first[None], rest])
+
+
+def _seq_chain(first, t_ext, emits):
+    """Reference-order boundary chain: u_1 = first;
+    u_{k+1} = (u_k + t_ext) + emits_k. Returns (u_1..u_{n+1}) for n
+    emits. (jnp.cumsum is a tree reduction whose f32 grouping drifts
+    ~6e-3 from the sequential chain over ~400 terms at log-prob
+    magnitudes ~1e3 — measured, docs/PARITY.md BB11005 analysis.)"""
+    def step(u, em):
+        u2 = u + t_ext + em
+        return u2, u2
+
+    _, rest = jax.lax.scan(step, first, emits)
+    return jnp.concatenate([first[None], rest])
 
 
 def _forward_scan(e, ins_x, ins_y, start, tv):
@@ -91,6 +167,12 @@ def fwd_boundary_row(By, ins_y, start, tv):
     tSI, tSJ = start[1], start[3]
     lz = jnp.full((By + 1,), LOG_ZERO, dtype=jnp.float32)
     # IY(0,1) = tSI + ins(y0); IY(0,j) = IY(0,j-1) + tII + ins(y_{j-1})
+    if EXACT_ASSOC:
+        iy0 = jnp.concatenate([lz[:1], _seq_chain(tSI + ins_y[0],
+                                                  tII, ins_y[1:])])
+        jy0 = jnp.concatenate([lz[:1], _seq_chain(tSJ + ins_y[0],
+                                                  tJJ, ins_y[1:])])
+        return (lz, lz, iy0, lz, jy0)
     ext_i = jnp.concatenate([jnp.reshape(tSI, (1,)) + ins_y[:1],
                              tII + ins_y[1:]])
     ext_j = jnp.concatenate([jnp.reshape(tSJ, (1,)) + ins_y[:1],
@@ -136,12 +218,16 @@ def make_fwd_step(ins_y, start, tv):
 
         # IY/JY rows: within-row affine recurrence over j
         ins_y_ = ins_y
-        a_i = tII + ins_y_
-        c_i = m_row[:-1] + tMI + ins_y_
-        iy_new = _row_affine_scan(a_i, c_i)
-        a_j = tJJ + ins_y_
-        c_j = m_row[:-1] + tMJ + ins_y_
-        jy_new = _row_affine_scan(a_j, c_j)
+        if EXACT_ASSOC:
+            iy_new = _row_affine_scan_exact(tII, m_row[:-1] + tMI, ins_y_)
+            jy_new = _row_affine_scan_exact(tJJ, m_row[:-1] + tMJ, ins_y_)
+        else:
+            a_i = tII + ins_y_
+            c_i = m_row[:-1] + tMI + ins_y_
+            iy_new = _row_affine_scan(a_i, c_i)
+            a_j = tJJ + ins_y_
+            c_j = m_row[:-1] + tMJ + ins_y_
+            jy_new = _row_affine_scan(a_j, c_j)
         iy_row = jnp.concatenate([jnp.full((1,), LOG_ZERO, jnp.float32), iy_new])
         jy_row = jnp.concatenate([jnp.full((1,), LOG_ZERO, jnp.float32), jy_new])
 
@@ -174,12 +260,20 @@ def bwd_boundary_row(By, ins_y, start, tv):
     tMI, tMJ = tv[1], tv[2]
     lz = jnp.full((By + 1,), LOG_ZERO, dtype=jnp.float32)
     # IY(0,0)=tSI; IY(0,v) = IY(0,v-1) + ins(yr_{v-1}) + tII
-    iy0 = tSI + jnp.concatenate([jnp.zeros(1, jnp.float32),
-                                 jnp.cumsum(ins_y + tII)])
-    jy0 = tSJ + jnp.concatenate([jnp.zeros(1, jnp.float32),
-                                 jnp.cumsum(ins_y + tJJ)])
-    # M(0,v) = LOG_ADD(tMI + IY(0,v-1)+ins, tMJ + JY(0,v-1)+ins); M(0,0)=tSM
-    m0_tail = log_add(tMI + iy0[:-1] + ins_y, tMJ + jy0[:-1] + ins_y)
+    if EXACT_ASSOC:
+        # reference order: IY(LX,j) = tII + (IY(LX,j+1) + Emit_y)
+        iy0 = _seq_chain_bwd(jnp.asarray(tSI, jnp.float32), tII, ins_y)
+        jy0 = _seq_chain_bwd(jnp.asarray(tSJ, jnp.float32), tJJ, ins_y)
+        # M(LX,j) = LOG_ADD(tMI + (IY+ins), tMJ + (JY+ins))
+        m0_tail = log_add(tMI + (iy0[:-1] + ins_y),
+                          tMJ + (jy0[:-1] + ins_y))
+    else:
+        iy0 = tSI + jnp.concatenate([jnp.zeros(1, jnp.float32),
+                                     jnp.cumsum(ins_y + tII)])
+        jy0 = tSJ + jnp.concatenate([jnp.zeros(1, jnp.float32),
+                                     jnp.cumsum(ins_y + tJJ)])
+        # M(0,v) = LOG_ADD(tMI + IY(0,v-1)+ins, tMJ + JY(0,v-1)+ins); M(0,0)=tSM
+        m0_tail = log_add(tMI + iy0[:-1] + ins_y, tMJ + jy0[:-1] + ins_y)
     m0 = jnp.concatenate([jnp.reshape(tSM, (1,)), m0_tail])
     ix0 = lz.at[0].set(tSI)
     jx0 = lz.at[0].set(tSJ)
@@ -205,20 +299,29 @@ def make_bwd_step(ins_yr, start, tv):
         ix_new = log_add(tII + next_ix, tIM + next_m)
         jx_new = log_add(tJJ + next_jx, tJM + next_m)
         # column v = 0 (j = LY): IX extends via previous row col 0
-        ix_c0 = tII + ix_p[0] + insx
-        jx_c0 = tJJ + jx_p[0] + insx
+        if EXACT_ASSOC:
+            # reference order: tII + (IX_prev + Emit_x)
+            ix_c0 = tII + (ix_p[0] + insx)
+            jx_c0 = tJJ + (jx_p[0] + insx)
+        else:
+            ix_c0 = tII + ix_p[0] + insx
+            jx_c0 = tJJ + jx_p[0] + insx
         ix_row = jnp.concatenate([ix_c0[None], ix_new])
         jx_row = jnp.concatenate([jx_c0[None], jx_new])
 
         # IY/JY rows: within-row affine recurrence
         # IY(u,v) = LOG_ADD(IY(u,v-1)+ins_y+tII, tIM + nextM_v)
-        a_i = tII + ins_y
         c_i = tIM + next_m
-        # u_0 = IY(u, 0) = LOG_ZERO -> plain scan solution
-        iy_new = _row_affine_scan(a_i, c_i)
-        a_j = tJJ + ins_y
         c_j = tJM + next_m
-        jy_new = _row_affine_scan(a_j, c_j)
+        if EXACT_ASSOC:
+            iy_new = _row_affine_scan_exact_bwd(tII, c_i, ins_y)
+            jy_new = _row_affine_scan_exact_bwd(tJJ, c_j, ins_y)
+        else:
+            a_i = tII + ins_y
+            # u_0 = IY(u, 0) = LOG_ZERO -> plain scan solution
+            iy_new = _row_affine_scan(a_i, c_i)
+            a_j = tJJ + ins_y
+            jy_new = _row_affine_scan(a_j, c_j)
         iy_row = jnp.concatenate([jnp.full((1,), LOG_ZERO, jnp.float32), iy_new])
         jy_row = jnp.concatenate([jnp.full((1,), LOG_ZERO, jnp.float32), jy_new])
 
@@ -231,7 +334,11 @@ def make_bwd_step(ins_yr, start, tv):
                          tMI + next_iy,
                          tMJ + next_jy)
         # column v = 0: M = LOG_ADD(tMI+nextIX, tMJ+nextJX) at (u-1, 0)
-        m_c0 = log_add(tMI + ix_p[0] + insx, tMJ + jx_p[0] + insx)
+        if EXACT_ASSOC:
+            m_c0 = log_add(tMI + (ix_p[0] + insx),
+                           tMJ + (jx_p[0] + insx))
+        else:
+            m_c0 = log_add(tMI + ix_p[0] + insx, tMJ + jx_p[0] + insx)
         m_row = jnp.concatenate([m_c0[None], m_new])
 
         new = (m_row, ix_row, iy_row, jx_row, jy_row)

@@ -120,3 +120,39 @@ def test_balibase_mega(fam):
     _record(f"{fam}.mega",
             _check(msa, fam, f"{fam}.mega.afa", gq, gtc,
                    by_sequence=True))
+
+
+@pytest.mark.slow
+@needs_testdata
+def test_bb11005_exact_assoc_column_identical():
+    """BB11005 — the one workload the fast tree-scan kernels cannot make
+    column-identical (docs/PARITY.md "BB11005 divergence analysis") —
+    IS identical under MUSCLE_TPU_EXACT_ASSOC=1, which replays the
+    reference binary's sequential LOG_ADD association (the forward and
+    backward lattices are then bit-identical to the binary's). 14/14
+    column-identity holds with the flag; the fast path keeps 13/14 +
+    score-parity. Subprocess: the flag is read at import."""
+    import subprocess
+    import sys
+    script = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+os.environ["MUSCLE_TPU_EXACT_ASSOC"] = "1"
+sys.path.insert(0, %r)
+import jax
+jax.config.update("jax_platforms", "cpu")
+from muscle_tpu.sequence import MultiSequence
+from muscle_tpu.pipeline.mpc import align
+msa = align(MultiSequence.from_fasta(%r))
+gold = {s.label: s.text() for s in MultiSequence.from_fasta(%r)}
+mine = {s.label: s.text() for s in msa}
+assert gold == mine, "exact-assoc BB11005 not column-identical"
+print("OK identical")
+""" % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+       f"{FA_DIR}/BB11005", f"{GOLDEN_DIR}/BB11005.seq.afa")
+    r = subprocess.run([sys.executable, "-c", script],
+                       capture_output=True, text=True, timeout=2700)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "OK identical" in r.stdout
+    _record("BB11005.seq[exact-assoc]", "identical")

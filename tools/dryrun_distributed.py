@@ -11,11 +11,22 @@ world, with the production pipeline (sharded pair-grid posteriors ->
 blocked sparse consistency) jit-ed over the global (2, 4) dcn x ici
 mesh and asserted BIT-IDENTICAL to a single-device run.
 
+Beyond correctness, `--bench` measures the OVERHEAD of the process
+boundary (VERDICT r4: the DCN path had a bit-identity proof but no
+cost figure): the same sharded pair-grid posterior stage is timed on
+(a) ONE process with 8 virtual devices and (b) TWO gloo-joined
+processes with 4 devices each — same host, same cores, same global
+mesh size — and the ratio (b)/(a) is the measured multi-process tax
+(coordination + gloo all-gather of the replicated outputs). bench.py
+wires the ratio in as `distributed_2proc_overhead_ratio`.
+
 Usage:
   python tools/dryrun_distributed.py            # parent: spawns 2 workers
+  python tools/dryrun_distributed.py --bench    # 1-proc vs 2-proc pairs/s
   python tools/dryrun_distributed.py --worker I PORT   # internal
 """
 import os
+import re
 import socket
 import subprocess
 import sys
@@ -23,12 +34,40 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N_PROC = 2
 LOCAL_DEV = 4
+BENCH_PAIRS = 64
+BENCH_LEN = 256
+BENCH_ITERS = 3
 
 
-def worker(pid: int, port: int) -> None:
+def _bench_mesh(mesh) -> float:
+    """pairs/s of the sharded posterior stage on `mesh` (replicated
+    outputs — the production requirement on a multi-process mesh)."""
+    import time
+
+    import numpy as np
+    from muscle_tpu.hmm.params import HMMParams
+    from muscle_tpu.parallel.mesh import (global_array,
+                                          sharded_batch_posteriors)
+
+    pack = HMMParams.from_defaults().to_scores()
+    rng = np.random.default_rng(0)
+    b, l = BENCH_PAIRS, BENCH_LEN
+    xb = global_array(mesh, rng.integers(0, 20, (b, l)).astype(np.int32))
+    yb = global_array(mesh, rng.integers(0, 20, (b, l)).astype(np.int32))
+    lens = global_array(mesh, np.full(b, l, np.int32))
+    fn = sharded_batch_posteriors(mesh, pack, replicate_out=True)
+    _, ea = fn(xb, yb, lens, lens)      # compile + warm
+    np.asarray(ea)
+    t0 = time.perf_counter()
+    for _ in range(BENCH_ITERS):
+        _, ea = fn(xb, yb, lens, lens)
+        np.asarray(ea)
+    return b * BENCH_ITERS / (time.perf_counter() - t0)
+
+
+def _force_cpu(local_devices: int) -> None:
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["PALLAS_AXON_POOL_IPS"] = ""
-    os.environ["JAX_CPU_COLLECTIVES_IMPLEMENTATION"] = "gloo"
     # the parent may carry --xla_force_host_platform_device_count from
     # the driver; local device count is set via jax_num_cpu_devices
     os.environ["XLA_FLAGS"] = " ".join(
@@ -39,7 +78,27 @@ def worker(pid: int, port: int) -> None:
     # sitecustomize may force-register a TPU plugin and overwrite
     # jax_platforms — put it back (same dance as tests/conftest.py)
     jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_num_cpu_devices", LOCAL_DEV)
+    jax.config.update("jax_num_cpu_devices", local_devices)
+
+
+def single() -> None:
+    """1-process baseline: 8 local devices, same (2, 4) mesh shape."""
+    _force_cpu(N_PROC * LOCAL_DEV)
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    mesh = Mesh(np.asarray(devs).reshape(N_PROC, LOCAL_DEV),
+                ("dcn", "ici"))
+    pps = _bench_mesh(mesh)
+    print(f"bench 1proc: {pps:.2f} pairs/s", flush=True)
+
+
+def worker(pid: int, port: int, bench: bool = False) -> None:
+    os.environ["JAX_CPU_COLLECTIVES_IMPLEMENTATION"] = "gloo"
+    _force_cpu(LOCAL_DEV)
+    import jax
 
     import numpy as np
     from muscle_tpu.hmm.params import HMMParams
@@ -57,6 +116,13 @@ def worker(pid: int, port: int) -> None:
     assert len(devs) == N_PROC * LOCAL_DEV, len(devs)
     mesh = make_mesh_2d(devs)
     assert dict(mesh.shape) == {"dcn": N_PROC, "ici": LOCAL_DEV}, mesh
+
+    if bench:
+        pps = _bench_mesh(mesh)
+        if pid == 0:
+            print(f"bench 2proc: {pps:.2f} pairs/s", flush=True)
+        print(f"worker {pid}: OK bench", flush=True)
+        return
 
     import jax.numpy as jnp
 
@@ -115,15 +181,22 @@ def worker(pid: int, port: int) -> None:
 
 
 def main() -> None:
-    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
-        worker(int(sys.argv[2]), int(sys.argv[3]))
+    argv = sys.argv[1:]
+    bench = "--bench" in argv
+    argv = [a for a in argv if a != "--bench"]
+    if argv and argv[0] == "--worker":
+        worker(int(argv[1]), int(argv[2]), bench=bench)
+        return
+    if argv and argv[0] == "--single":
+        single()
         return
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
+    extra = ["--bench"] if bench else []
     procs = [subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--worker", str(i),
-         str(port)],
+         str(port)] + extra,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
         for i in range(N_PROC)]
     outs = []
@@ -141,6 +214,24 @@ def main() -> None:
         for i, out in enumerate(outs):
             sys.stderr.write(f"--- worker {i} output ---\n{out}\n")
         raise SystemExit("dryrun_distributed FAILED")
+    if bench:
+        m2 = re.search(r"bench 2proc: ([0-9.]+)", outs[0])
+        r1 = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--single"],
+            capture_output=True, text=True, timeout=600)
+        m1 = re.search(r"bench 1proc: ([0-9.]+)", r1.stdout)
+        if not (m1 and m2):
+            sys.stderr.write(r1.stdout + r1.stderr + outs[0])
+            raise SystemExit("dryrun_distributed bench FAILED")
+        p1, p2 = float(m1.group(1)), float(m2.group(1))
+        # overhead ratio < 1 means the 2-process world is slower than
+        # the same 8 devices in one process: the gloo coordination +
+        # cross-process all-gather tax (both worlds share this host's
+        # cores, so compute throughput cancels out of the ratio)
+        print(f"bench 1proc: {p1:.2f} pairs/s")
+        print(f"bench 2proc: {p2:.2f} pairs/s")
+        print(f"distributed_2proc_overhead_ratio {p2 / p1:.3f}")
+        return
     print("dryrun_distributed ok: 2-process jax.distributed (gloo) "
           "(2, 4) dcn x ici mesh bit-identical to single device")
 

@@ -19,12 +19,19 @@ OUT=$(dirname "$0")/../tests/goldens
 
 if [ ! -x "$BUILD/muscle" ]; then
   mkdir -p "$BUILD/o"
-  # source list = every .cpp in the vcxproj (all of src/)
-  ls "$REF"/src/*.cpp > "$BUILD/filelist.txt"
+  # source list = the .cpp files named in the vcxproj. NOT all of src/:
+  # alpha.cpp and help.cpp are present in the tree but excluded from the
+  # project (alpha.cpp is a dead older-generation alphabet layer whose
+  # globals conflict with alpha2.cpp at link time)
+  grep -o 'Include="[^"]*\.cpp"' "$REF/src/muscle.vcxproj" \
+    | sed 's/Include="//;s/"//;s|^|'"$REF"'/src/|' > "$BUILD/filelist.txt"
+  # myutils.cpp #includes a generated gitver.txt (normally produced by
+  # src/gitver.bash, which needs a writable git checkout)
+  echo '"local"' > "$BUILD/gitver.txt"
   echo "building reference muscle ($(wc -l < "$BUILD/filelist.txt") files)..."
   parallel_jobs=$(nproc)
   cat "$BUILD/filelist.txt" | xargs -P "$parallel_jobs" -I{} sh -c \
-    'g++ -c -O2 -fopenmp -DNDEBUG -o '"$BUILD"'/o/$(basename {} .cpp).o {}' \
+    'g++ -c -O2 -fopenmp -DNDEBUG -I'"$BUILD"' -o '"$BUILD"'/o/$(basename {} .cpp).o {}' \
     > "$BUILD/build.log" 2>&1
   g++ -O2 -fopenmp -o "$BUILD/muscle" "$BUILD"/o/*.o >> "$BUILD/build.log" 2>&1
   echo "built $BUILD/muscle"
