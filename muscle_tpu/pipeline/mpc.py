@@ -175,6 +175,30 @@ class MPC:
                  pad_to)
         precision = consistency_precision_for(
             n, self.consistency_precision)
+        # single-chip capacity wall: the device-resident sparse store is
+        # (P+1, L, K) vals f32 + cols int32 = 8 B/slot, and consistency
+        # double-buffers it. At N=1000/L=512/K=32 that is ~65 GB against
+        # 16 GB of HBM — no single chip can run MPC there (the reference
+        # itself recommends -super5 beyond a few hundred sequences, and
+        # its own -align extrapolates to ~24 h at N=1000; see
+        # docs/PARITY.md "mpc-1000"). Fail with the remedy rather than
+        # letting the allocator OOM half an hour in. The multi-chip
+        # path shards the store over a jax mesh (2.2.x GB/chip at 8
+        # chips) — override the budget when one is attached.
+        if not self.mega:
+            import os
+            p_total = len(pairs)
+            store_gb = (p_total + 1) * pad_to * self.sparse_k * 8 / 1e9
+            budget_gb = float(os.environ.get(
+                "MUSCLE_TPU_HBM_BUDGET_GB", 12.0))
+            if store_gb > budget_gb and n * pad_to > post_mod.SMALL_DENSE_NL:
+                raise MemoryError(
+                    f"MPC sparse store for {n} seqs ({p_total} pairs, "
+                    f"L={pad_to}, K={self.sparse_k}) needs ~{store_gb:.0f} GB "
+                    f"device HBM (> {budget_gb:.0f} GB budget). Use "
+                    f"-super5 (the production path at this scale), or run "
+                    f"on a multi-chip mesh / raise "
+                    f"MUSCLE_TPU_HBM_BUDGET_GB.")
         # small families (Super4/Super7 clusters and shrubs, BB-scale
         # inputs): ONE-DISPATCH dense pair stage + consistency —
         # per-wave dispatch/compile overhead of the blocked-sparse
