@@ -51,11 +51,14 @@ REF_MPC200_WALL_S = float(os.environ.get("MUSCLE_TPU_REF_MPC200", 3514.0))
 REF_ENS_STRAT_WALL_S = float(os.environ.get("MUSCLE_TPU_REF_ENS", 10.43))
 # measured 2026-08-21: -super5 rdrp512.fa: 9m43s
 REF_SUPER5_512_WALL_S = float(os.environ.get("MUSCLE_TPU_REF_S5", 583.0))
-# EXTRAPOLATED (not measured — a 2-core reference run would take ~24 h):
-# the pair stage and the n^2/4-rowpair refine stage both scale ~(N/200)^2
-# from the measured 200-seq wall => 3514 s * (1000*999)/(200*199) = 88.2 ks.
-REF_MPC1000_WALL_S = float(os.environ.get("MUSCLE_TPU_REF_MPC1000",
-                                          REF_MPC200_WALL_S * 25.1))
+# measured 2026-08-22: /tmp/refbuild/muscle -super5 rdrp1000.fa: 19m13s
+# (2 cores, this host, no other load) — see docs/PARITY.md "mpc-1000"
+# for why the 1k-family config is -super5 on both sides (the
+# reference's own recommendation at this scale; its -align
+# extrapolates to ~24 h and our single-chip MPC store cannot fit
+# 16 GB HBM at N=1000).
+REF_SUPER5_1K_WALL_S = float(os.environ.get("MUSCLE_TPU_REF_S5_1K",
+                                            1153.0))
 # measured 2026-08-21: -super7 synth1024.mega -distmxin synth1024.distmx
 # (2 cores, /tmp/refbuild/muscle): 90m41s. Inputs: tools/make_big_mega.py
 REF_SUPER7_1K_WALL_S = float(os.environ.get("MUSCLE_TPU_REF_S7", 5441.0))
@@ -173,23 +176,26 @@ def bench_super5_512():
          round(REF_SUPER5_512_WALL_S / dt, 3))
 
 
-def bench_mpc1000():
+def bench_super5_1000():
     # 1k-seq family wall-clock — the named primary config
-    # (BASELINE.md:52). vs_baseline is against the EXTRAPOLATED 2-core
-    # reference wall (see REF_MPC1000_WALL_S; a measured run is ~24 h).
-    from muscle_tpu.pipeline.mpc import align
-    from muscle_tpu.sequence import MultiSequence
-
+    # (BASELINE.md:52), via -super5: the production path for 1k-seq
+    # families on BOTH sides (the reference recommends -super5 beyond a
+    # few hundred sequences; its -align at N=1000 extrapolates to ~24 h
+    # on this host, and OUR single-chip MPC store does not fit 16 GB
+    # HBM at N=1000 — docs/PARITY.md "mpc-1000"). vs_baseline is the
+    # same-host measured reference `-super5` wall on rdrp-1000.
     path = _rdrp_subset(1000)
     if path is None:
         return
+    from muscle_tpu.pipeline.super5 import super5
+    from muscle_tpu.sequence import MultiSequence
     seqs = MultiSequence.from_fasta(path)
     t0 = time.perf_counter()
-    msa = align(seqs)
+    msa = super5(seqs)
     dt = time.perf_counter() - t0
     assert len(msa) == 1000
-    emit("mpc_1000seq_wall_s", round(dt, 2), "s",
-         round(REF_MPC1000_WALL_S / dt, 3))
+    emit("super5_1000_wall_s", round(dt, 2), "s",
+         round(REF_SUPER5_1K_WALL_S / dt, 3))
 
 
 def bench_super7_1k():
@@ -308,7 +314,7 @@ def main():
                               ("super5", bench_super5_512, 500),
                               ("scaling", bench_scaling_cpu, 280),
                               ("super7_1k", bench_super7_1k, 1600),
-                              ("mpc1000", bench_mpc1000, 3600)):
+                              ("super5_1k", bench_super5_1000, 900)):
             if time.perf_counter() - t_start + est > budget:
                 print(f"# skipping {name}: ~{est}s doesn't fit the "
                       f"remaining bench budget", file=sys.stderr)
