@@ -358,13 +358,15 @@ _LIST_F_BUDGET = 2 << 30
 
 
 def align_sampled_device(store_v, store_c, sampled, msa1, msa2,
-                         max_nnz: int):
+                         max_nnz: int, row_offset: int = 0):
     """(score, path) for a PProg profile-profile join from a device
-    store of SAMPLED row pairs: store row k holds the posterior of
-    (msa1 row sampled[k][0], msa2 row sampled[k][1]) in that
-    orientation. Only packed 2-bit directions cross the host link.
-    Returns None when the padded accumulator would blow the HBM budget
-    (caller falls back to the host path).
+    store of SAMPLED row pairs: store row row_offset+k holds the
+    posterior of (msa1 row sampled[k][0], msa2 row sampled[k][1]) in
+    that orientation (row_offset lets a GROUPED store serve several
+    joins without slicing away its trailing dump row — pprog.py).
+    Only packed 2-bit directions cross the host link. Returns None
+    when the padded accumulator would blow the HBM budget (caller
+    falls back to the host path).
 
     Compile-shape discipline: rows are COMPACTED to those actually
     sampled and padded on coarse pow2 rungs (min 128) — PProg joins
@@ -395,7 +397,7 @@ def align_sampled_device(store_v, store_c, sampled, msa1, msa2,
     pid = np.full(p2, dump, np.int32)
     ro = np.zeros(p2, np.int32)
     co = np.zeros(p2, np.int32)
-    pid[:len(sampled)] = np.arange(len(sampled))
+    pid[:len(sampled)] = row_offset + np.arange(len(sampled))
     ro[:len(sampled)] = [r1_of[i] for i, _ in sampled]
     co[:len(sampled)] = [r2_of[j] for _, j in sampled]
 

@@ -285,75 +285,127 @@ class PProg:
         del node_glob
 
         store_async = getattr(self.aligner, "sparse_store_async", None)
+        if store_async is None:
+            # aligner without a device store: fully serial host joins
+            for k in range(njoin):
+                m1, m2 = node_msas[idx1[k]], node_msas[idx2[k]]
+                _, path = self.path_msas(m1, m2, sampled=plan[k][0])
+                joined = align_msas_by_path(m1, m2, path)
+                _save_join(joined, k)
+                node_msas.append(joined)
+                node_msas[idx1[k]] = None
+                node_msas[idx2[k]] = None
+            return node_msas[-1]
+
+        # GROUPED dispatch: every join's sampled pairs are raw-sequence
+        # pairs fixed by the pre-sampled plan — independent of earlier
+        # join RESULTS — so consecutive joins' pair grids batch into
+        # one device store per group. The round-5 profile (super5-512,
+        # docs/PARITY.md) showed the join tail dominated by ~270 small
+        # joins each paying its own dispatch + CSR fetch round trip
+        # through the ~29 ms tunnel; a group is ONE dispatch + at most
+        # ONE bulk CSR fetch (lazy — skipped when every join in the
+        # group runs on-device), with the next group's store dispatched
+        # before this group's host-side work (double-buffered: ~2
+        # group stores live on HBM).
         try:
-            lookahead = int(
-                os.environ.get("MUSCLE_TPU_PPROG_PREFETCH", "1"))
+            group_budget = int(
+                os.environ.get("MUSCLE_TPU_PPROG_GROUP", "4096"))
         except ValueError:
-            mlog.log("PProg: bad MUSCLE_TPU_PPROG_PREFETCH, using 1")
-            lookahead = 1
-        lookahead = max(0, lookahead)
+            mlog.log("PProg: bad MUSCLE_TPU_PPROG_GROUP, using 4096")
+            group_budget = 4096
+        group_budget = max(1, group_budget)
+        groups: list[tuple[int, int, list[int]]] = []   # (k0, k1, offs)
+        k = 0
+        while k < njoin:
+            offs = [0]
+            k0 = k
+            tot = 0
+            while k < njoin and (k == k0
+                                 or tot + len(plan[k][1]) <= group_budget):
+                tot += len(plan[k][1])
+                offs.append(tot)
+                k += 1
+            groups.append((k0, k, offs))
+
         pending: dict[int, tuple | None] = {}
 
-        def _dispatch(k):
-            sampled, gpairs = plan[k]
-            if (store_async is not None and gpairs
-                    and _device_joins(len(sampled))):
-                pending[k] = store_async(gpairs)
-            else:
-                pending[k] = None
+        def _dispatch_group(g):
+            k0, k1, _ = groups[g]
+            gpairs_all = [p for k in range(k0, k1) for p in plan[k][1]]
+            pending[g] = store_async(gpairs_all) if gpairs_all else None
 
-        for k in range(min(lookahead + 1, njoin)):
-            _dispatch(k)
-
+        _dispatch_group(0)
         try:
             return self._run_guide_tree_joins(
-                node_msas, idx1, idx2, njoin, plan, pending, lookahead,
-                _dispatch)
+                node_msas, idx1, idx2, njoin, plan, groups, pending,
+                _dispatch_group)
         finally:
-            # an exception mid-tree must not strand up to lookahead+1
-            # full (P+1, L, K) device buffers for the process lifetime
+            # an exception mid-tree must not strand the live group
+            # stores (full (P+1, L, K) device buffers) for the process
+            # lifetime
             pending.clear()
 
     def _run_guide_tree_joins(self, node_msas, idx1, idx2, njoin, plan,
-                              pending, lookahead, _dispatch):
+                              groups, pending, _dispatch_group):
+        import time as _time
         from ..utils import logging as mlog
-        for k in range(njoin):
-            mlog.log("PProg join %d/%d", k + 1, njoin)
-            m1 = node_msas[idx1[k]]
-            m2 = node_msas[idx2[k]]
-            sampled, gpairs = plan[k]
-            st = pending.pop(k)
+        from .devjoin import align_sampled_device
+        from . import posteriors as post_mod
+        for g, (k0, k1, offs) in enumerate(groups):
+            st = pending.pop(g)
+            # double-buffer: enqueue the next group's pair grids behind
+            # this group's device queue, ahead of its host-side work
+            if g + 1 < len(groups):
+                _dispatch_group(g + 1)
+            group_views = None           # lazy bulk CSR fetch
+            group_gpairs = None
+            mx_i = None
             if st is not None:
-                import time as _time
-                t0 = _time.perf_counter()
-                from .devjoin import align_sampled_device
                 sv, sc, _se, mx = st
-                r = align_sampled_device(sv, sc, sampled, m1, m2,
-                                         int(np.asarray(mx)))
+            t_grp = _time.perf_counter()
+            n_dev = n_host = 0
+            for k in range(k0, k1):
+                m1 = node_msas[idx1[k]]
+                m2 = node_msas[idx2[k]]
+                sampled, gpairs = plan[k]
+                lo, m = offs[k - k0], len(gpairs)
+                r = None
+                if st is not None and _device_joins(len(sampled)):
+                    if mx_i is None:
+                        mx_i = int(np.asarray(mx))
+                    r = align_sampled_device(sv, sc, sampled, m1, m2,
+                                             mx_i, row_offset=lo)
                 if r is not None:
                     path = r[1]
+                    n_dev += 1
+                elif st is not None:
+                    if group_views is None:
+                        # ONE packed fetch for the whole group
+                        group_gpairs = [p for kk in range(k0, k1)
+                                        for p in plan[kk][1]]
+                        flat_v, flat_c, nnz = post_mod.fetch_store_csr(
+                            sv, sc, sv.shape[1])
+                        group_views = post_mod.csr_views(
+                            flat_v, flat_c, nnz, len(group_gpairs),
+                            lambda t: int(self.aligner.lens[
+                                group_gpairs[t][0]]))
+                    path = self._accumulate_path(
+                        m1, m2, sampled, group_views[lo:lo + m])
+                    n_host += 1
                 else:
-                    # over the devjoin HBM budget: packed fetch + host
-                    from . import posteriors as post_mod
-                    flat_v, flat_c, nnz = post_mod.fetch_store_csr(
-                        sv, sc, sv.shape[1])
-                    views = post_mod.csr_views(
-                        flat_v, flat_c, nnz, len(gpairs),
-                        lambda t: int(self.aligner.lens[gpairs[t][0]]))
-                    path = self._accumulate_path(m1, m2, sampled, views)
+                    _, path = self.path_msas(m1, m2, sampled=sampled)
+                    n_host += 1
+                joined = align_msas_by_path(m1, m2, path)
+                _save_join(joined, k)
+                node_msas.append(joined)
+                node_msas[idx1[k]] = None
+                node_msas[idx2[k]] = None
+            if st is not None:
                 del sv, sc, _se, mx, st
-                mlog.log("pprog join(pre%s): %d pairs %.2fs",
-                         "dev" if r is not None else "host",
-                         len(sampled), _time.perf_counter() - t0)
-            else:
-                _, path = self.path_msas(m1, m2, sampled=sampled)
-            # enqueue the next lookahead join before the host-side merge
-            nxt = k + lookahead + 1
-            if nxt < njoin:
-                _dispatch(nxt)
-            joined = align_msas_by_path(m1, m2, path)
-            _save_join(joined, k)
-            node_msas.append(joined)
-            node_msas[idx1[k]] = None
-            node_msas[idx2[k]] = None
+            mlog.log("pprog group %d/%d: joins %d-%d (%d dev, %d host%s) "
+                     "%.2fs", g + 1, len(groups), k0 + 1, k1,
+                     n_dev, n_host,
+                     ", bulk-fetched" if group_views is not None else "",
+                     _time.perf_counter() - t_grp)
         return node_msas[-1]
