@@ -315,6 +315,13 @@ class PProg:
             mlog.log("PProg: bad MUSCLE_TPU_PPROG_GROUP, using 4096")
             group_budget = 4096
         group_budget = max(1, group_budget)
+        # device-eligible joins (>= 64 sampled pairs) stay ONE PER
+        # GROUP: they ran at ~2 s/join on per-join-sized stores whose
+        # compile shapes are warm across runs, and folding them into a
+        # 4096-row group store forced fresh multi-hundred-second XLA
+        # compiles of the devjoin kernels (measured: a 3-join group hit
+        # 216 s). Only the small host-path joins — the ones paying
+        # per-join round trips — are batched.
         groups: list[tuple[int, int, list[int]]] = []   # (k0, k1, offs)
         k = 0
         while k < njoin:
@@ -322,10 +329,14 @@ class PProg:
             k0 = k
             tot = 0
             while k < njoin and (k == k0
-                                 or tot + len(plan[k][1]) <= group_budget):
+                                 or (tot + len(plan[k][1]) <= group_budget
+                                     and not _device_joins(
+                                         len(plan[k][0])))):
                 tot += len(plan[k][1])
                 offs.append(tot)
                 k += 1
+                if _device_joins(len(plan[k0][0])):
+                    break               # a big join is its own group
             groups.append((k0, k, offs))
 
         pending: dict[int, tuple | None] = {}
@@ -354,10 +365,20 @@ class PProg:
         from . import posteriors as post_mod
         for g, (k0, k1, offs) in enumerate(groups):
             st = pending.pop(g)
-            # double-buffer: enqueue the next group's pair grids behind
-            # this group's device queue, ahead of its host-side work
-            if g + 1 < len(groups):
-                _dispatch_group(g + 1)
+            # double-buffer: enqueue the next group's pair grids AFTER
+            # this group's device-side reads, ahead of its host-side
+            # merges. Dispatching before the reads puts the next
+            # store's whole pair-grid compute ahead of this group's
+            # devjoin in the device queue — measured +5 s on every
+            # singleton device join.
+            dispatched_next = g + 1 >= len(groups)
+
+            def _ensure_next():
+                nonlocal dispatched_next
+                if not dispatched_next:
+                    dispatched_next = True
+                    _dispatch_group(g + 1)
+
             group_views = None           # lazy bulk CSR fetch
             group_gpairs = None
             mx_i = None
@@ -376,6 +397,7 @@ class PProg:
                         mx_i = int(np.asarray(mx))
                     r = align_sampled_device(sv, sc, sampled, m1, m2,
                                              mx_i, row_offset=lo)
+                    _ensure_next()
                 if r is not None:
                     path = r[1]
                     n_dev += 1
@@ -390,12 +412,14 @@ class PProg:
                             flat_v, flat_c, nnz, len(group_gpairs),
                             lambda t: int(self.aligner.lens[
                                 group_gpairs[t][0]]))
+                        _ensure_next()
                     path = self._accumulate_path(
                         m1, m2, sampled, group_views[lo:lo + m])
                     n_host += 1
                 else:
                     _, path = self.path_msas(m1, m2, sampled=sampled)
                     n_host += 1
+                _ensure_next()
                 joined = align_msas_by_path(m1, m2, path)
                 _save_join(joined, k)
                 node_msas.append(joined)
